@@ -1,0 +1,339 @@
+"""StereoOdometer: the frame-to-frame tracking loop as one jitted XLA program.
+
+API-compatible rebuild of the reference ``StereoOdometer``
+(stereo_odometer.py:14-226). The reference's data-dependent Python control
+flow becomes masked/``jnp.where`` logic over a carried state pytree so that
+the ENTIRE per-frame update — rectify, SGBM, reproject, ORB, match, filters,
+Kabsch, motion gates, pose chain, skip/fallback state machine — compiles to a
+single XLA program per frame.
+
+Observable semantics preserved exactly (SURVEY.md section 3.2 and "quirks"):
+ - skip causes {keypoints, matches, rigidity, outlier, nan, bigdist, bigrot}
+   with the reference's assignment order (bigrot overwrites bigdist; rigidity
+   may remain set on an ultimately-successful frame; skip_cause is sticky
+   across successful frames);
+ - motion gates scale with (skipped_frames + 1) (reference :215-216);
+ - on failure the frame state is NOT rolled (reference :154 commented out) —
+   new frames keep matching against the last accepted frame;
+ - the fallback attempt matches against the prev-prev frame and composes onto
+   the OLD c_T_w_prev, skipping the failed frame's motion (reference
+   :139-150);
+ - update() returns True for the very first frame without computing a pose
+   (reference :124-126);
+ - current_pose() inverts the stored world-in-camera transform (reference
+   :225-226).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openvo_tpu.config import (
+    SKIP_BIGDIST,
+    SKIP_BIGROT,
+    SKIP_CAUSE_STRINGS,
+    SKIP_KEYPOINTS,
+    SKIP_MATCHES,
+    SKIP_NAN,
+    SKIP_OUTLIER,
+    SKIP_RIGIDITY,
+    OdometerConfig,
+)
+from openvo_tpu.geometry.se3 import rotation_magnitude
+from openvo_tpu.ops.hamming import ratio_test_match
+from openvo_tpu.ops.interpolate import bilinear_sample_3d
+from openvo_tpu.ops.orb import detect_and_compute
+from openvo_tpu.pose.kabsch import kabsch
+from openvo_tpu.pose.outlier import outlier_filter
+from openvo_tpu.pose.rigid_clique import rigid_body_filter
+
+
+class FrameFeatures(NamedTuple):
+    """Fixed-capacity per-frame data (the jit-friendly replacement for the
+    reference's current_img/current_disparity/current_3d/current_kps/
+    current_desc attribute quintuple, stereo_odometer.py:17-25)."""
+
+    xyz: jnp.ndarray       # (Hc, Wc, 3) reprojected 3D image
+    disp: jnp.ndarray      # (Hc, Wc) disparity (float px)
+    kp_xy: jnp.ndarray     # (K, 2) keypoint coords (x, y), level-0 frame
+    desc: jnp.ndarray      # (K, 32) packed 256-bit descriptors
+    kp_valid: jnp.ndarray  # (K,) bool
+
+
+class OdomState(NamedTuple):
+    cur: FrameFeatures
+    prev: FrameFeatures
+    has_cur: jnp.ndarray     # () bool
+    has_prev: jnp.ndarray    # () bool
+    c_T_w: jnp.ndarray       # (4, 4) world-in-camera
+    c_T_w_prev: jnp.ndarray  # (4, 4)
+    skipped: jnp.ndarray     # () int32
+    skip_code: jnp.ndarray   # () int32
+
+
+def _empty_features(shape, K):
+    Hc, Wc = shape
+    return FrameFeatures(
+        xyz=jnp.zeros((Hc, Wc, 3), jnp.float32),
+        disp=jnp.zeros((Hc, Wc), jnp.float32),
+        kp_xy=jnp.zeros((K, 2), jnp.float32),
+        desc=jnp.zeros((K, 32), jnp.uint8),
+        kp_valid=jnp.zeros((K,), bool),
+    )
+
+
+def init_state(cropped_shape, max_keypoints: int) -> OdomState:
+    f = _empty_features(cropped_shape, max_keypoints)
+    return OdomState(
+        cur=f,
+        prev=f,
+        has_cur=jnp.asarray(False),
+        has_prev=jnp.asarray(False),
+        c_T_w=jnp.eye(4, dtype=jnp.float32),
+        c_T_w_prev=jnp.eye(4, dtype=jnp.float32),
+        skipped=jnp.asarray(0, jnp.int32),
+        skip_code=jnp.asarray(0, jnp.int32),
+    )
+
+
+def make_pipeline_fns(camera, cfg: OdometerConfig, color: bool):
+    """Factor the odometer's stages into reusable pure functions.
+
+    Returns dict(extract, point_clouds, point_cloud_transform, attempt) —
+    consumed by make_step (sequential API), parallel/rig.py (vmap rig) and
+    parallel/sharding.py (multi-chip streaming).
+    """
+    compute3d = camera.compute_3d_fn(color, cfg.preprocessed_frames)
+
+    def extract(img_left, img_right) -> FrameFeatures:
+        xyz, disp, img = compute3d(img_left, img_right)
+        # Disparity feature mask (reference stereo_odometer.py:38-41).
+        fmask = (
+            (disp >= cfg.min_valid_disparity)
+            & (disp <= cfg.max_valid_disparity)
+        ).astype(jnp.uint8)
+        feats = detect_and_compute(img, fmask, cfg.orb)
+        return FrameFeatures(
+            xyz=xyz,
+            disp=disp,
+            kp_xy=feats["xy"],
+            desc=feats["desc"],
+            kp_valid=feats["valid"],
+        )
+
+    def point_clouds(fa: FrameFeatures, fb: FrameFeatures):
+        """Match fa -> fb and sample both 3D images at the matched subpixel
+        keypoint locations (reference stereo_odometer.py:162-175)."""
+        train_idx, mok = ratio_test_match(
+            fa.desc, fb.desc, cfg.match_threshold, fa.kp_valid, fb.kp_valid
+        )
+        n = jnp.sum(mok.astype(jnp.int32))
+        pts_a = bilinear_sample_3d(fa.xyz, fa.kp_xy[:, 0], fa.kp_xy[:, 1])
+        xy_b = jnp.take(fb.kp_xy, train_idx, axis=0)
+        pts_b = bilinear_sample_3d(fb.xyz, xy_b[:, 0], xy_b[:, 1])
+        enough = n >= cfg.min_matches
+        return pts_a, pts_b, mok, enough, n
+
+    def point_cloud_transform(pts_a, pts_b, mask, skipped, skip_code):
+        """Reference stereo_odometer.py:177-223 with identical gating order.
+        Returns (T, ok, skip_code')."""
+        if cfg.rigidity_threshold > 0:
+            clique = rigid_body_filter(pts_a, pts_b, mask,
+                                       cfg.rigidity_threshold)
+            mask = mask & (clique > 0)
+        n1 = jnp.sum(mask.astype(jnp.int32))
+        rigidity_cause = n1 < 10
+        skip_code = jnp.where(rigidity_cause, SKIP_RIGIDITY, skip_code)
+
+        if cfg.outlier_threshold > 0:
+            refined = outlier_filter(pts_a, pts_b, mask,
+                                     cfg.outlier_threshold)
+            mask = jnp.where(n1 >= 10, refined, mask)
+
+        n2 = jnp.sum(mask.astype(jnp.int32))
+        too_few = n2 < cfg.min_matches
+        skip_code = jnp.where(too_few & ~rigidity_cause, SKIP_OUTLIER,
+                              skip_code)
+
+        T = kabsch(pts_a, pts_b, mask)
+        is_nan = jnp.any(jnp.isnan(T))
+        skip_code = jnp.where(~too_few & is_nan, SKIP_NAN, skip_code)
+
+        lim = (skipped + 1).astype(jnp.float32)
+        big_dist = jnp.linalg.norm(T[:3, 3]) > cfg.max_distance_change * lim
+        big_rot = (
+            rotation_magnitude(T[:3, :3]) > cfg.max_rotation_change * lim
+        )
+        gates_on = ~too_few & ~is_nan
+        # Reference assignment order (:217-220): bigdist then bigrot —
+        # bigrot wins if both fire.
+        skip_code = jnp.where(gates_on & big_dist, SKIP_BIGDIST, skip_code)
+        skip_code = jnp.where(gates_on & big_rot, SKIP_BIGROT, skip_code)
+        ok = gates_on & ~big_dist & ~big_rot
+        return T, ok, skip_code
+
+    def attempt(fa, fb, skipped, skip_code_in):
+        """One matching+fit attempt; mirrors the update() body's use of
+        point_clouds + point_cloud_transform with 'matches' gating."""
+        pts_a, pts_b, mok, enough, n = point_clouds(fa, fb)
+        T, ok, code_t = point_cloud_transform(pts_a, pts_b, mok, skipped,
+                                              skip_code_in)
+        code_out = jnp.where(enough, code_t,
+                             jnp.asarray(SKIP_MATCHES, jnp.int32))
+        return T, ok & enough, code_out, n
+
+    return {
+        "extract": extract,
+        "point_clouds": point_clouds,
+        "point_cloud_transform": point_cloud_transform,
+        "attempt": attempt,
+    }
+
+
+def make_step(camera, cfg: OdometerConfig, color: bool):
+    """Build the pure step function (state, imgL, imgR) -> (state', ok, stats).
+
+    ``camera`` is a StereoCamera; its maps/Q/SGBM params are closed over and
+    baked into the compiled program as constants.
+    """
+    fns = make_pipeline_fns(camera, cfg, color)
+    extract, attempt = fns["extract"], fns["attempt"]
+
+    def step(state: OdomState, img_left, img_right):
+        feats = extract(img_left, img_right)
+        n_kps = jnp.sum(feats.kp_valid.astype(jnp.int32))
+        few_kps = n_kps < cfg.min_matches
+        first = ~state.has_cur
+
+        # Attempt 1: against the last accepted frame.
+        T1, ok1, code1, nm1 = attempt(state.cur, feats, state.skipped,
+                                      state.skip_code)
+        # Attempt 2 (fallback): against the prev-prev frame, starting from
+        # attempt 1's skip-cause mutations (reference :139-150).
+        T2, ok2, code2, nm2 = attempt(state.prev, feats, state.skipped,
+                                      code1)
+        use2 = ~ok1 & state.has_prev
+        ok = ok1 | (use2 & ok2)
+        code_final = jnp.where(use2, code2, code1)
+
+        # Pose chain. Attempt 1 composes onto c_T_w; the fallback composes
+        # onto the OLD c_T_w_prev (skipping the failed frame's motion).
+        c_T_w_1 = T1 @ state.c_T_w
+        c_T_w_2 = T2 @ state.c_T_w_prev
+        c_T_w_new = jnp.where(ok1, c_T_w_1,
+                              jnp.where(use2 & ok2, c_T_w_2, state.c_T_w))
+        c_T_w_prev_new = jnp.where(ok, state.c_T_w, state.c_T_w_prev)
+
+        # Tracking success for this call (first frame counts as success).
+        success = ~few_kps & (first | ok)
+        tracked = ~few_kps & ~first & ok
+
+        # State roll (save_frame_update) only on success.
+        def sel(a, b):
+            return jax.tree_util.tree_map(
+                lambda x, y: jnp.where(success, x, y), a, b
+            )
+
+        new_cur = sel(feats, state.cur)
+        new_prev = sel(state.cur, state.prev)
+
+        new_state = OdomState(
+            cur=new_cur,
+            prev=new_prev,
+            has_cur=state.has_cur | success,
+            has_prev=jnp.where(success, state.has_cur, state.has_prev),
+            c_T_w=jnp.where(tracked, c_T_w_new, state.c_T_w),
+            c_T_w_prev=jnp.where(tracked, c_T_w_prev_new, state.c_T_w_prev),
+            skipped=jnp.where(
+                success,
+                jnp.where(first, state.skipped, 0),
+                state.skipped + 1,
+            ).astype(jnp.int32),
+            skip_code=jnp.where(
+                few_kps,
+                jnp.asarray(SKIP_KEYPOINTS, jnp.int32),
+                jnp.where(first, state.skip_code, code_final),
+            ).astype(jnp.int32),
+        )
+        stats = {
+            "n_kps": n_kps,
+            "n_matches": jnp.where(use2, nm2, nm1),
+            "ok1": ok1,
+            "ok2": use2 & ok2,
+            "skip_code": new_state.skip_code,
+        }
+        return new_state, success, stats
+
+    return step
+
+
+class StereoOdometer:
+    """Drop-in replacement for the reference StereoOdometer (same defaults,
+    reference stereo_odometer.py:14-15)."""
+
+    MIN_VALID_DISPARITY = 4
+    MAX_VALID_DISPARITY = 100
+    MAX_DISTANCE_CHANGE = 1.0
+    MAX_ROTATION_CHANGE = float(np.pi / 3)
+
+    def __init__(self, stereo_camera, nfeatures: int = 500,
+                 match_threshold: float = 0.8,
+                 rigidity_threshold: float = 0.0,
+                 outlier_threshold: float = 0.0,
+                 preprocessed_frames: bool = False,
+                 min_matches: int = 10,
+                 config: OdometerConfig | None = None):
+        self.stereo = stereo_camera
+        if config is None:
+            config = OdometerConfig(
+                nfeatures=nfeatures,
+                match_threshold=match_threshold,
+                rigidity_threshold=rigidity_threshold,
+                outlier_threshold=outlier_threshold,
+                preprocessed_frames=preprocessed_frames,
+                min_matches=min_matches,
+            )
+        self.config = config
+        self._state = init_state(stereo_camera.cropped_shape,
+                                 config.orb.max_keypoints)
+        self.skipped_frames = 0
+        self.skip_cause = ""
+        self._steps = {}
+
+    def _get_step(self, color: bool):
+        if color not in self._steps:
+            self._steps[color] = jax.jit(
+                make_step(self.stereo, self.config, color),
+                donate_argnums=(0,),
+            )
+        return self._steps[color]
+
+    @property
+    def state(self) -> OdomState:
+        return self._state
+
+    def update(self, img_left, img_right) -> bool:
+        """Process one stereo pair; returns True iff tracking succeeded
+        (reference stereo_odometer.py:115-160)."""
+        img_left = jnp.asarray(np.asarray(img_left))
+        img_right = jnp.asarray(np.asarray(img_right))
+        color = img_left.ndim == 3
+        step = self._get_step(color)
+        self._state, ok, stats = step(self._state, img_left, img_right)
+        ok = bool(ok)
+        self.skipped_frames = int(self._state.skipped)
+        self.skip_cause = SKIP_CAUSE_STRINGS[int(self._state.skip_code)]
+        self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
+        return ok
+
+    def current_pose(self):
+        """camera-in-world pose = inv(c_T_w) (reference :225-226)."""
+        return np.linalg.inv(np.asarray(self._state.c_T_w, dtype=np.float64))
+
+    @property
+    def c_T_w(self):
+        return np.asarray(self._state.c_T_w)

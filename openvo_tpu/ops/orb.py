@@ -1,0 +1,309 @@
+"""ORB feature detection + description, TPU-native.
+
+Replaces ``cv2.ORB_create(nfeatures).detectAndCompute(img, mask)`` (reference
+stereo_odometer.py:22,117; SURVEY.md N7). Components, all vectorized over the
+whole image so they map onto the VPU/MXU with static shapes:
+
+ - scale pyramid (nlevels=8, factor 1.2, bilinear resize),
+ - FAST-9/16 corner test computed as ``max over 16 arc starts of the min
+   margin over 9 contiguous circle pixels`` (this simultaneously yields the
+   corner decision and the FAST score used for 3x3 non-max suppression),
+ - Harris corner response (block 7, k=0.04) for ranking, like ORB's default
+   HARRIS_SCORE,
+ - per-level top-K selection with OpenCV's per-level feature budget split
+   (geometric decay by 1/scale_factor),
+ - intensity-centroid orientation over the radius-15 circular patch,
+ - steered BRIEF-256: a fixed Gaussian test pattern (sigma = patch/5, clipped
+   to +/-13) rotated by the keypoint angle, sampled from a 7x7 sigma=2
+   Gaussian-blurred level image with nearest-neighbor rounding.
+
+Differences from OpenCV, by design (documented for the parity tests):
+ - the BRIEF pattern is our own deterministic Gaussian pattern, not OpenCV's
+   learned table, so descriptors are not bit-compatible with cv2 — matching
+   quality is validated behaviorally instead (see tests/test_orb.py);
+ - the detection mask gates candidates *before* per-level top-K (OpenCV
+   filters after), which only ever yields more usable masked features.
+
+Variable-length keypoint lists become fixed-capacity padded arrays with a
+validity mask (`max_keypoints` rows), the jit-friendly idiom replacing
+OpenCV's dynamic vectors.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openvo_tpu.config import ORBParams
+from openvo_tpu.ops.hamming import pack_bits
+from openvo_tpu.ops.image import gaussian_blur, resize_bilinear, sobel_xy, box_filter
+
+HALF_PATCH = 15  # intensity-centroid circle radius (OpenCV halfPatchSize)
+
+# FAST segment test circle of radius 3: 16 (dx, dy) offsets in circular order.
+FAST_CIRCLE = np.array(
+    [
+        (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+        (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+    ],
+    dtype=np.int32,
+)
+
+
+@functools.lru_cache(maxsize=None)
+def brief_pattern(n_bits: int = 256, patch_size: int = 31, seed: int = 42):
+    """Deterministic BRIEF test pattern: n_bits (p, q) point pairs.
+
+    Points ~ N(0, (patch/5)^2) clipped to +/-(patch//2 - 2) = +/-13 so that a
+    rotated sample stays within the half-patch circle that the edge-threshold
+    border guarantees to be inside the image.
+    Returns int32 array (n_bits, 4): (px, py, qx, qy).
+    """
+    rng = np.random.default_rng(seed)
+    sigma = patch_size / 5.0
+    lim = patch_size // 2 - 2
+    pts = np.clip(np.round(rng.normal(0.0, sigma, size=(n_bits, 4))), -lim, lim)
+    return pts.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def centroid_weights(radius: int = HALF_PATCH):
+    """(u, v) coordinate weight grids over the circular patch (numpy)."""
+    r = radius
+    v, u = np.mgrid[-r : r + 1, -r : r + 1]
+    circ = (u * u + v * v) <= r * r
+    return (u * circ).astype(np.float32), (v * circ).astype(np.float32), circ
+
+
+def features_per_level(nfeatures: int, nlevels: int, scale_factor: float):
+    """OpenCV ORB's geometric per-level feature budget."""
+    factor = 1.0 / scale_factor
+    ndesired = nfeatures * (1 - factor) / (1 - factor**nlevels)
+    counts = []
+    total = 0
+    for _ in range(nlevels - 1):
+        c = int(round(ndesired))
+        counts.append(c)
+        total += c
+        ndesired *= factor
+    counts.append(max(nfeatures - total, 0))
+    return counts
+
+
+def fast_score(img_f32, threshold: float):
+    """FAST-9/16 score map: max over arc starts of min margin over the arc.
+
+    Returns (score, corner_mask); a pixel is a corner iff score > threshold.
+    """
+    H, W = img_f32.shape
+    pad = jnp.pad(img_f32, 3, mode="edge")
+    neigh = jnp.stack(
+        [pad[3 + dy : 3 + dy + H, 3 + dx : 3 + dx + W] for dx, dy in FAST_CIRCLE],
+        axis=0,
+    )  # (16, H, W)
+    bright = neigh - img_f32[None]  # margin if brighter
+    dark = img_f32[None] - neigh    # margin if darker
+
+    def arc_score(m):
+        # min over 9 contiguous circle pixels, for each of the 16 starts
+        mins = [
+            functools.reduce(jnp.minimum, [m[(s + k) % 16] for k in range(9)])
+            for s in range(16)
+        ]
+        return functools.reduce(jnp.maximum, mins)
+
+    score = jnp.maximum(arc_score(bright), arc_score(dark))
+    return score, score > threshold
+
+
+def harris_response(img_f32, block_size: int = 7, k: float = 0.04):
+    """Harris corner response over the full image (OpenCV HarrisResponses
+    uses a 7x7 block sum of Sobel products, scaled; the scale only affects
+    ranking monotonically so we keep the raw response)."""
+    dx, dy = sobel_xy(img_f32)
+    sxx = box_filter(dx * dx, block_size)
+    syy = box_filter(dy * dy, block_size)
+    sxy = box_filter(dx * dy, block_size)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    return det - k * tr * tr
+
+
+def _nms3x3(score):
+    """3x3 non-max suppression: keep pixels equal to their neighborhood max."""
+    H, W = score.shape
+    pad = jnp.pad(score, 1, constant_values=-jnp.inf)
+    mx = score
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            mx = jnp.maximum(mx, pad[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W])
+    return score >= mx
+
+
+def _detect_level(img_l, mask_l, k_level, params: ORBParams):
+    """Detect top-k_level corners on one pyramid level.
+
+    Returns (xy (k,2) int32 level coords, response (k,), valid (k,)).
+    """
+    H, W = img_l.shape
+    score, corner = fast_score(img_l, float(params.fast_threshold))
+    corner = corner & _nms3x3(score)
+
+    # Border exclusion (edge_threshold) — keeps orientation/BRIEF patches
+    # fully inside the image.
+    b = params.edge_threshold
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inside = (xs >= b) & (xs < W - b) & (ys >= b) & (ys < H - b)
+    corner = corner & inside
+    if mask_l is not None:
+        corner = corner & (mask_l > 0)
+
+    resp = harris_response(img_l)
+    flat = jnp.where(corner, resp, -jnp.inf).reshape(-1)
+    top_vals, top_idx = jax.lax.top_k(flat, k_level)
+    valid = jnp.isfinite(top_vals)
+    xy = jnp.stack([top_idx % W, top_idx // W], axis=1).astype(jnp.int32)
+    return xy, top_vals, valid
+
+
+def _orientations(img_l, xy, valid):
+    """Intensity-centroid angle (radians) at each keypoint."""
+    uw, vw, _ = centroid_weights()
+    uw = jnp.asarray(uw)
+    vw = jnp.asarray(vw)
+    r = HALF_PATCH
+
+    def one(pt):
+        win = jax.lax.dynamic_slice(
+            img_l, (pt[1] - r, pt[0] - r), (2 * r + 1, 2 * r + 1)
+        )
+        m10 = jnp.sum(win * uw)
+        m01 = jnp.sum(win * vw)
+        return jnp.arctan2(m01, m10)
+
+    ang = jax.vmap(one)(xy)
+    return jnp.where(valid, ang, 0.0)
+
+
+def _descriptors(img_blur, xy, angles, valid):
+    """Steered BRIEF-256 bits at each keypoint -> packed (K, 32) uint8."""
+    pat = jnp.asarray(brief_pattern())  # (256, 4)
+    px, py, qx, qy = (pat[:, 0].astype(jnp.float32), pat[:, 1].astype(jnp.float32),
+                      pat[:, 2].astype(jnp.float32), pat[:, 3].astype(jnp.float32))
+    H, W = img_blur.shape
+    flat = img_blur.reshape(-1)
+
+    def one(pt, ang):
+        ca, sa = jnp.cos(ang), jnp.sin(ang)
+
+        def rot_sample(x, y):
+            # OpenCV's GET_VALUE rounding: col = round(x*cos - y*sin),
+            # row = round(x*sin + y*cos), relative to the keypoint center.
+            col = pt[0] + jnp.round(x * ca - y * sa).astype(jnp.int32)
+            row = pt[1] + jnp.round(x * sa + y * ca).astype(jnp.int32)
+            col = jnp.clip(col, 0, W - 1)
+            row = jnp.clip(row, 0, H - 1)
+            return jnp.take(flat, row * W + col)
+
+        tp = rot_sample(px, py)
+        tq = rot_sample(qx, qy)
+        return (tp < tq).astype(jnp.uint8)
+
+    bits = jax.vmap(one)(xy, angles)  # (K, 256)
+    bits = jnp.where(valid[:, None], bits, 0)
+    return pack_bits(bits)
+
+
+def detect_and_compute(img, mask, params: ORBParams):
+    """Full ORB pipeline on a (H, W) grayscale image.
+
+    Args:
+      img: (H, W) uint8/float image.
+      mask: optional (H, W) detection mask (nonzero = allowed), level-0 size.
+      params: ORBParams.
+
+    Returns a dict of fixed-capacity arrays (K = params.max_keypoints):
+      xy:       (K, 2) float32 level-0 keypoint coords
+      response: (K,)   float32 Harris response
+      angle:    (K,)   float32 orientation (radians)
+      octave:   (K,)   int32 pyramid level
+      size:     (K,)   float32 patch diameter at level 0
+      desc:     (K, 32) uint8 packed 256-bit descriptors
+      valid:    (K,)   bool
+    """
+    H, W = img.shape
+    imgf = img.astype(jnp.float32)
+    budgets = features_per_level(params.nfeatures, params.nlevels,
+                                 params.scale_factor)
+
+    all_xy, all_resp, all_ang, all_oct, all_valid, all_desc = [], [], [], [], [], []
+    for level in range(params.nlevels):
+        scale = params.scale_factor**level
+        h_l = max(int(round(H / scale)), 2 * params.edge_threshold + 3)
+        w_l = max(int(round(W / scale)), 2 * params.edge_threshold + 3)
+        img_l = resize_bilinear(imgf, h_l, w_l) if level > 0 else imgf
+        if mask is not None:
+            # nearest-neighbor downsample of the level-0 mask
+            yy = jnp.clip(jnp.round(jnp.arange(h_l) * (H / h_l)).astype(jnp.int32), 0, H - 1)
+            xx = jnp.clip(jnp.round(jnp.arange(w_l) * (W / w_l)).astype(jnp.int32), 0, W - 1)
+            mask_l = mask[yy][:, xx]
+        else:
+            mask_l = None
+        k_level = max(min(budgets[level], (h_l * w_l)), 1)
+
+        xy, resp, valid = _detect_level(img_l, mask_l, k_level, params)
+        ang = _orientations(img_l, xy, valid)
+        img_b = gaussian_blur(img_l, 7, 2.0)
+        desc = _descriptors(img_b, xy, ang, valid)
+
+        all_xy.append(xy.astype(jnp.float32) * scale)
+        all_resp.append(resp)
+        all_ang.append(ang)
+        all_oct.append(jnp.full((k_level,), level, jnp.int32))
+        all_valid.append(valid)
+        all_desc.append(desc)
+
+    xy = jnp.concatenate(all_xy)
+    resp = jnp.concatenate(all_resp)
+    ang = jnp.concatenate(all_ang)
+    octv = jnp.concatenate(all_oct)
+    valid = jnp.concatenate(all_valid)
+    desc = jnp.concatenate(all_desc)
+
+    # Pad/trim to the fixed capacity, keeping the order (level-major like
+    # OpenCV's output). Valid entries always precede padding within a level.
+    K = params.max_keypoints
+    n = xy.shape[0]
+    if n < K:
+        pad = K - n
+        xy = jnp.concatenate([xy, jnp.zeros((pad, 2), xy.dtype)])
+        resp = jnp.concatenate([resp, jnp.full((pad,), -jnp.inf, resp.dtype)])
+        ang = jnp.concatenate([ang, jnp.zeros((pad,), ang.dtype)])
+        octv = jnp.concatenate([octv, jnp.zeros((pad,), octv.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+        desc = jnp.concatenate([desc, jnp.zeros((pad, 32), desc.dtype)])
+    elif n > K:
+        # Keep the K best by response across levels.
+        _, keep = jax.lax.top_k(jnp.where(valid, resp, -jnp.inf), K)
+        xy, resp, ang = xy[keep], resp[keep], ang[keep]
+        octv, valid, desc = octv[keep], valid[keep], desc[keep]
+
+    size = jnp.where(
+        valid,
+        31.0 * params.scale_factor ** octv.astype(jnp.float32),
+        0.0,
+    )
+    return {
+        "xy": xy,
+        "response": resp,
+        "angle": ang,
+        "octave": octv,
+        "size": size,
+        "desc": desc,
+        "valid": valid,
+    }

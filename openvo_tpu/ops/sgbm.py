@@ -1,0 +1,311 @@
+"""Semi-Global Block Matching (SGBM) disparity estimation, TPU-native.
+
+Replaces ``cv2.StereoSGBM_create(...).compute()`` (reference
+stereo_camera.py:23-27,51; SURVEY.md N4). Stages, mirroring Hirschmuller's
+SGM as implemented by OpenCV:
+
+ 1. Prefilter: horizontal Sobel clipped to ``[-cap, cap] + cap``
+    (preFilterCap semantics).
+ 2. Matching cost: Birchfield-Tomasi sampling-insensitive absolute
+    difference between the prefiltered images, evaluated for every disparity
+    in ``[minD, minD + numDisparities)``.
+ 3. Block aggregation: blockSize x blockSize box sum (replicated borders).
+ 4. Path-wise cost aggregation over 4/5/8 directions with penalties P1/P2:
+        L_r(p, d) = C(p, d) + min(L_r(p-r, d),
+                                  L_r(p-r, d-1) + P1, L_r(p-r, d+1) + P1,
+                                  min_k L_r(p-r, k) + P2) - min_k L_r(p-r, k)
+ 5. WTA disparity + uniqueness-ratio test + left-right consistency check
+    (disp12MaxDiff) + parabolic subpixel refinement quantized to the x16
+    int16 grid exactly like OpenCV (the reference then divides by 16,
+    stereo_camera.py:51).
+ 6. Optional speckle filtering: connected components of similar disparity
+    (4-connectivity, |d1-d2| <= 16*speckleRange on the x16 grid) smaller than
+    speckleWindowSize are invalidated. Components are labeled with
+    pointer-jumping label propagation (O(log diameter) gathers), the
+    TPU-friendly replacement for OpenCV's sequential flood fill.
+
+TPU layout note: the cost volume is (H, W, D) with the disparity axis last —
+D is a multiple of 16 (usually 128), i.e. exactly the lane dimension, so the
+d+/-1 shifts, the min-reductions and the WTA all stay in-register on the VPU.
+The directional recurrence runs as ``lax.scan`` over rows/columns; the scan
+body is the Pallas-ready inner kernel.
+
+Invalid disparity = (minDisparity - 1), encoded as (minD-1)*16 on the int16
+grid — after the reference's /16 this is the value the feature mask's
+MIN_VALID_DISPARITY=4 band excludes (stereo_odometer.py:6-7,38-41).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from openvo_tpu.config import SGBMParams
+
+BIG = jnp.float32(1e9)
+
+
+def prefilter_xsobel(img, cap: int):
+    """Horizontal Sobel clipped to [-cap, cap] and shifted to [0, 2*cap]."""
+    x = jnp.pad(img.astype(jnp.float32), 1, mode="edge")
+    H, W = img.shape
+
+    def sh(dy, dx):
+        return x[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
+
+    dx = (
+        (sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1))
+        - (sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1))
+    )
+    return jnp.clip(dx, -cap, cap) + cap
+
+
+def bt_cost_volume(left_p, right_p, min_disp: int, num_disp: int):
+    """Birchfield-Tomasi cost volume (H, W, D) between prefiltered images.
+
+    For each left pixel x and disparity d the right sample is x - d; out-of-
+    range samples replicate the border column (matching cost there is
+    meaningless and the left invalid band is handled by the caller's tests).
+    """
+    H, W = left_p.shape
+    # Half-sample min/max envelopes (BT interpolated neighborhoods).
+    def envelopes(a):
+        am = 0.5 * (a + jnp.roll(a, 1, axis=1))   # value at x - 0.5
+        ap = 0.5 * (a + jnp.roll(a, -1, axis=1))  # value at x + 0.5
+        lo = jnp.minimum(jnp.minimum(am, ap), a)
+        hi = jnp.maximum(jnp.maximum(am, ap), a)
+        return lo, hi
+
+    l_lo, l_hi = envelopes(left_p)
+    r_lo, r_hi = envelopes(right_p)
+
+    # Pad the right image on the left so x - d never underflows.
+    pad = num_disp + abs(min_disp)
+    rp = jnp.pad(right_p, ((0, 0), (pad, 0)), mode="edge")
+    rlo = jnp.pad(r_lo, ((0, 0), (pad, 0)), mode="edge")
+    rhi = jnp.pad(r_hi, ((0, 0), (pad, 0)), mode="edge")
+
+    costs = []
+    for i in range(num_disp):
+        d = min_disp + i
+        s = pad - d
+        r = rp[:, s : s + W]
+        rl = rlo[:, s : s + W]
+        rh = rhi[:, s : s + W]
+        c_l = jnp.maximum(0.0, jnp.maximum(left_p - rh, rl - left_p))
+        c_r = jnp.maximum(0.0, jnp.maximum(r - l_hi, l_lo - r))
+        costs.append(jnp.minimum(c_l, c_r))
+    return jnp.stack(costs, axis=-1)  # (H, W, D)
+
+
+def block_sum(vol, block_size: int):
+    """blockSize x blockSize spatial box sum of the (H, W, D) volume with
+    replicated borders."""
+    if block_size <= 1:
+        return vol
+    r = block_size // 2
+    v = jnp.pad(vol, ((r, r), (0, 0), (0, 0)), mode="edge")
+    H = vol.shape[0]
+    v = sum(v[i : i + H] for i in range(block_size))
+    v = jnp.pad(v, ((0, 0), (r, r), (0, 0)), mode="edge")
+    W = vol.shape[1]
+    return sum(v[:, i : i + W] for i in range(block_size))
+
+
+def _scan_dir(cost, xshift: int, p1: float, p2: float, reverse: bool):
+    """Aggregate along axis 0 of (N0, N1, D) ``cost``; the previous step's
+    row is shifted by ``xshift`` along axis 1 (diagonal paths)."""
+
+    def shift_d(row, k):
+        if k == 0:
+            return row
+        out = jnp.roll(row, k, axis=-1)
+        if k > 0:
+            return out.at[..., :k].set(BIG)
+        return out.at[..., k:].set(BIG)
+
+    def shift_x(row, k):
+        if k == 0:
+            return row
+        out = jnp.roll(row, k, axis=0)
+        if k > 0:
+            return out.at[:k].set(BIG)
+        return out.at[k:].set(BIG)
+
+    def step(prev, c_row):
+        pr = shift_x(prev, xshift)
+        minprev = jnp.min(pr, axis=-1, keepdims=True)
+        cand = jnp.minimum(pr, jnp.minimum(shift_d(pr, 1), shift_d(pr, -1)) + p1)
+        cand = jnp.minimum(cand, minprev + p2)
+        L = c_row + cand - minprev
+        return L, L
+
+    init = jnp.full(cost.shape[1:], BIG, cost.dtype)
+    _, L = jax.lax.scan(step, init, cost, reverse=reverse)
+    return L
+
+
+def aggregate(cost, params: SGBMParams):
+    """Sum of directional path costs S(p, d). Directions:
+       4: left, right, up, down
+       5: left, up-left, up, up-right, right   (OpenCV MODE_SGBM-like)
+       8: all of the above + down-left, down, down-right
+    """
+    p1, p2 = float(params.effective_p1), float(params.effective_p2)
+    costT = jnp.swapaxes(cost, 0, 1)  # (W, H, D) for horizontal paths
+
+    def horiz(reverse):
+        return jnp.swapaxes(_scan_dir(costT, 0, p1, p2, reverse), 0, 1)
+
+    def vert(xshift, reverse):
+        return _scan_dir(cost, xshift, p1, p2, reverse)
+
+    if params.num_paths == 4:
+        dirs = [horiz(False), horiz(True), vert(0, False), vert(0, True)]
+    elif params.num_paths == 5:
+        dirs = [horiz(False), horiz(True), vert(0, False),
+                vert(1, False), vert(-1, False)]
+    else:
+        dirs = [horiz(False), horiz(True),
+                vert(0, False), vert(1, False), vert(-1, False),
+                vert(0, True), vert(1, True), vert(-1, True)]
+    return functools.reduce(jnp.add, dirs)
+
+
+def _wta(S, params: SGBMParams):
+    """WTA + uniqueness + subpixel on the aggregated volume.
+
+    Returns (disp16 int32 on the x16 grid, valid mask); disparities include
+    minDisparity. Invalid pixels are NOT yet marked — the mask is returned.
+    """
+    D = params.num_disparities
+    best = jnp.argmin(S, axis=-1)
+    minS = jnp.min(S, axis=-1)
+
+    valid = jnp.ones(best.shape, bool)
+    if params.uniqueness_ratio > 0:
+        d_idx = jnp.arange(D)[None, None, :]
+        far = jnp.abs(d_idx - best[..., None]) > 1
+        bad = jnp.any(
+            far & (S * (100.0 - params.uniqueness_ratio) < minS[..., None] * 100.0),
+            axis=-1,
+        )
+        valid &= ~bad
+
+    # Parabolic subpixel: offset = (S[d-1] - S[d+1]) / (2*(S[d-1]+S[d+1]-2*S[d]))
+    bm1 = jnp.clip(best - 1, 0, D - 1)
+    bp1 = jnp.clip(best + 1, 0, D - 1)
+    s_m = jnp.take_along_axis(S, bm1[..., None], axis=-1)[..., 0]
+    s_p = jnp.take_along_axis(S, bp1[..., None], axis=-1)[..., 0]
+    denom = s_m + s_p - 2.0 * minS
+    interior = (best > 0) & (best < D - 1) & (denom > 0)
+    frac = jnp.where(interior, (s_m - s_p) / jnp.maximum(2.0 * denom, 1e-9), 0.0)
+    frac = jnp.clip(frac, -0.5, 0.5)
+
+    d_float = best.astype(jnp.float32) + frac + params.min_disparity
+    disp16 = jnp.round(d_float * 16.0).astype(jnp.int32)
+    return disp16, valid, best
+
+
+def _lr_check(S, best_left, params: SGBMParams):
+    """Left-right consistency: recompute the right image's WTA disparity from
+    the same aggregated volume (costR(y, xr, d) = S(y, xr + d, d)) and check
+    |dL(x) - dR(x - dL(x))| <= disp12MaxDiff."""
+    H, W, D = S.shape
+    xr = jnp.arange(W)[None, :, None]
+    d = jnp.arange(D)[None, None, :]
+    xl = jnp.clip(xr + d, 0, W - 1)
+    costR = jnp.take_along_axis(S, jnp.broadcast_to(xl, (H, W, D)), axis=1)
+    in_range = (xr + d) < W
+    costR = jnp.where(in_range, costR, BIG)
+    bestR = jnp.argmin(costR, axis=-1)
+
+    x = jnp.arange(W)[None, :]
+    xr_of_l = jnp.clip(x - best_left, 0, W - 1)
+    dR = jnp.take_along_axis(bestR, xr_of_l, axis=1)
+    ok = jnp.abs(best_left - dR) <= params.disp12_max_diff
+    ok |= (x - best_left) < 0  # no right pixel to check against
+    return ok
+
+
+def _speckle_filter(disp16, valid, params: SGBMParams):
+    """Connected-component speckle rejection via pointer-jumping labels."""
+    H, W = disp16.shape
+    max_diff = 16 * params.speckle_range
+    n = H * W
+    d = disp16.reshape(-1)
+    v = valid.reshape(-1)
+    labels = jnp.arange(n, dtype=jnp.int32)
+
+    idx = labels.reshape(H, W)
+
+    def neighbor_min(lab):
+        L = lab.reshape(H, W)
+        dd = disp16
+
+        def take(shifted_lab, shifted_d, ok_region):
+            same = (jnp.abs(dd - shifted_d) <= max_diff) & ok_region
+            return jnp.where(same, shifted_lab, L)
+
+        big = jnp.int32(n)
+        up_l = jnp.pad(L, ((1, 0), (0, 0)), constant_values=big)[:-1]
+        up_d = jnp.pad(dd, ((1, 0), (0, 0)), constant_values=-(1 << 20))[:-1]
+        dn_l = jnp.pad(L, ((0, 1), (0, 0)), constant_values=big)[1:]
+        dn_d = jnp.pad(dd, ((0, 1), (0, 0)), constant_values=-(1 << 20))[1:]
+        lf_l = jnp.pad(L, ((0, 0), (1, 0)), constant_values=big)[:, :-1]
+        lf_d = jnp.pad(dd, ((0, 0), (1, 0)), constant_values=-(1 << 20))[:, :-1]
+        rt_l = jnp.pad(L, ((0, 0), (0, 1)), constant_values=big)[:, 1:]
+        rt_d = jnp.pad(dd, ((0, 0), (0, 1)), constant_values=-(1 << 20))[:, 1:]
+
+        m = L
+        m = jnp.minimum(m, take(up_l, up_d, jnp.ones_like(valid)))
+        m = jnp.minimum(m, take(dn_l, dn_d, jnp.ones_like(valid)))
+        m = jnp.minimum(m, take(lf_l, lf_d, jnp.ones_like(valid)))
+        m = jnp.minimum(m, take(rt_l, rt_d, jnp.ones_like(valid)))
+        m = jnp.where(valid, m, idx)  # invalid pixels stay singleton
+        return m.reshape(-1)
+
+    def body(_, lab):
+        lab = neighbor_min(lab)
+        lab = jnp.take(lab, lab)  # pointer jump
+        lab = jnp.take(lab, lab)
+        return lab
+
+    # log2(diameter) pointer jumps; 16 rounds cover diameters up to ~2^16.
+    labels = jax.lax.fori_loop(0, 16, body, labels)
+
+    sizes = jnp.zeros((n,), jnp.int32).at[labels].add(jnp.where(v, 1, 0))
+    comp_size = jnp.take(sizes, labels).reshape(H, W)
+    keep = comp_size > params.speckle_window_size
+    return valid & keep
+
+
+def sgbm_disparity16(left, right, params: SGBMParams):
+    """Full SGBM pipeline -> int16-grid disparity (x16) with invalid =
+    (minDisparity - 1) * 16, exactly the contract of cv2.StereoSGBM.compute."""
+    cap = max(params.pre_filter_cap, 15) | 1
+    lp = prefilter_xsobel(left, cap)
+    rp = prefilter_xsobel(right, cap)
+    C = bt_cost_volume(lp, rp, params.min_disparity, params.num_disparities)
+    C = block_sum(C, params.block_size)
+    S = aggregate(C, params)
+
+    disp16, valid, best = _wta(S, params)
+    if params.disp12_max_diff >= 0:
+        valid &= _lr_check(S, best, params)
+    # Left band where the full search range has no real right-image support.
+    x = jnp.arange(left.shape[1])[None, :]
+    valid &= (x - (best + params.min_disparity)) >= 0
+    if params.speckle_window_size > 0 and params.speckle_range > 0:
+        valid = _speckle_filter(disp16, valid, params)
+
+    invalid_val = (params.min_disparity - 1) * 16
+    return jnp.where(valid, disp16, invalid_val).astype(jnp.int16)
+
+
+def sgbm_disparity(left, right, params: SGBMParams):
+    """Float disparity in pixels: int16 grid / 16 (reference
+    stereo_camera.py:51)."""
+    return sgbm_disparity16(left, right, params).astype(jnp.float32) / 16.0
