@@ -16,16 +16,27 @@ import numpy as np
 
 
 def make_texture(rng: np.random.Generator, size: int = 1024) -> np.ndarray:
-    """Multi-octave value-noise texture rich in FAST/Harris corners."""
+    """Multi-octave value-noise texture rich in FAST/Harris corners.
+
+    Every octave is independent random noise bilinearly upsampled, so every
+    patch of the texture is globally unique — crucial for descriptor
+    matching tests (repeated motifs would make every corner look alike and
+    defeat the Lowe ratio test for ANY descriptor).
+    """
     tex = np.zeros((size, size), np.float32)
-    for octave in (8, 32, 128, 512):
+    for octave, amp in ((16, 1.0), (64, 0.9), (256, 0.7), (1024, 0.25)):
         coarse = rng.uniform(0, 1, size=(octave, octave)).astype(np.float32)
-        reps = size // octave
-        up = np.kron(coarse, np.ones((reps, reps), np.float32))
-        tex += up / (512 / octave) ** 0.25
-    # High-contrast blocky detail for corners.
-    blocks = rng.uniform(0, 1, size=(size // 8, size // 8)) > 0.5
-    tex += 0.8 * np.kron(blocks, np.ones((8, 8))).astype(np.float32)
+        if octave < size:
+            # bilinear upsample via repeated linear interp (no cv2 dependency)
+            idx = np.linspace(0, octave - 1, size)
+            i0 = np.floor(idx).astype(int)
+            i1 = np.minimum(i0 + 1, octave - 1)
+            f = (idx - i0).astype(np.float32)
+            rows = coarse[i0] * (1 - f)[:, None] + coarse[i1] * f[:, None]
+            up = rows[:, i0] * (1 - f)[None, :] + rows[:, i1] * f[None, :]
+        else:
+            up = coarse
+        tex += amp * up
     tex -= tex.min()
     tex *= 255.0 / tex.max()
     return tex
@@ -34,12 +45,12 @@ def make_texture(rng: np.random.Generator, size: int = 1024) -> np.ndarray:
 def _sample_texture(tex, u, v):
     """Wrapped bilinear sample of texture at float coords."""
     size = tex.shape[0]
-    u = np.mod(u, size)
-    v = np.mod(v, size)
-    u0 = np.floor(u).astype(np.int64)
-    v0 = np.floor(v).astype(np.int64)
-    fu = u - u0
-    fv = v - v0
+    uf = np.floor(u)
+    vf = np.floor(v)
+    fu = u - uf
+    fv = v - vf
+    u0 = uf.astype(np.int64) % size
+    v0 = vf.astype(np.int64) % size
     u1 = (u0 + 1) % size
     v1 = (v0 + 1) % size
     return (
@@ -57,25 +68,44 @@ def corridor_planes():
     the camera path (camera moves along +z, y points down).
     """
     return [
-        # floor at y = +1.5 (y-down camera convention)
-        (np.array([0, 1.5, 0.0]), np.array([0, -1.0, 0]),
-         np.array([1.0, 0, 0]), np.array([0, 0, 1.0]), 40.0),
-        # left wall at x = -4
-        (np.array([-4.0, 0, 0]), np.array([1.0, 0, 0]),
-         np.array([0, 0, 1.0]), np.array([0, 1.0, 0]), 40.0),
-        # right wall at x = +4
-        (np.array([4.0, 0, 0]), np.array([-1.0, 0, 0]),
-         np.array([0, 0, 1.0]), np.array([0, 1.0, 0]), 40.0),
-        # back wall at z = 40
-        (np.array([0, 0, 40.0]), np.array([0, 0, -1.0]),
-         np.array([1.0, 0, 0]), np.array([0, 1.0, 0]), 40.0),
+        # floor at y = +1.2 (y-down camera convention)
+        (np.array([0, 1.2, 0.0]), np.array([0, -1.0, 0]),
+         np.array([1.0, 0, 0]), np.array([0, 0, 1.0]), 60.0),
+        # left wall at x = -3
+        (np.array([-3.0, 0, 0]), np.array([1.0, 0, 0]),
+         np.array([0, 0, 1.0]), np.array([0, 1.0, 0]), 60.0),
+        # right wall at x = +3
+        (np.array([3.0, 0, 0]), np.array([-1.0, 0, 0]),
+         np.array([0, 0, 1.0]), np.array([0, 1.0, 0]), 60.0),
+        # back wall at z = 30
+        (np.array([0, 0, 30.0]), np.array([0, 0, -1.0]),
+         np.array([1.0, 0, 0]), np.array([0, 1.0, 0]), 60.0),
     ]
 
 
-def render_view(K, T_wc, planes, tex, img_size):
+def render_view(K, T_wc, planes, tex, img_size, supersample: int = 2):
     """Render one pinhole view. ``T_wc`` is camera-to-world (4x4);
     ``img_size`` is (width, height). Returns (image float32 HxW in [0,255],
-    depth float32 HxW in camera z)."""
+    depth float32 HxW in camera z).
+
+    Renders at ``supersample``x resolution and box-downsamples — cheap
+    anti-aliasing so minified far-away texture stays frame-to-frame stable
+    (raw point sampling shimmers and corrupts descriptor matching).
+    """
+    if supersample > 1:
+        s = supersample
+        K2 = K.copy().astype(np.float64)
+        K2[0, 0] *= s
+        K2[1, 1] *= s
+        K2[0, 2] = s * K[0, 2] + (s - 1) / 2.0
+        K2[1, 2] = s * K[1, 2] + (s - 1) / 2.0
+        img, depth = render_view(K2, T_wc, planes, tex,
+                                 (img_size[0] * s, img_size[1] * s),
+                                 supersample=1)
+        h, w = img_size[1], img_size[0]
+        img = img.reshape(h, s, w, s).mean(axis=(1, 3))
+        depth = depth.reshape(h, s, w, s)[:, 0, :, 0]
+        return img, depth
     w, h = img_size
     Kinv = np.linalg.inv(K)
     u, v = np.meshgrid(np.arange(w, dtype=np.float64),
@@ -105,7 +135,7 @@ def render_view(K, T_wc, planes, tex, img_size):
     return img, depth
 
 
-def make_rig(img_size=(320, 240), f=260.0, baseline=0.2):
+def make_rig(img_size=(320, 240), f=280.0, baseline=0.5):
     """Ideal rectified stereo rig: identical K, no distortion, pure x offset.
 
     Returns (K, dist, R, T) in the cv2.stereoRectify convention
@@ -134,8 +164,8 @@ def camera_trajectory(n_frames: int, step: float = 0.1, yaw_rate: float = 0.004)
     return np.stack(poses)
 
 
-def render_stereo_sequence(n_frames=6, img_size=(320, 240), f=260.0,
-                           baseline=0.2, seed=0, step=0.1, yaw_rate=0.004):
+def render_stereo_sequence(n_frames=6, img_size=(320, 240), f=280.0,
+                           baseline=0.5, seed=0, step=0.1, yaw_rate=0.004):
     """Full synthetic sequence: stereo images + ground-truth poses.
 
     Returns dict with keys: left (n,H,W) float32, right (n,H,W), T_wc

@@ -87,10 +87,11 @@ def _empty_features(shape, K):
 
 
 def init_state(cropped_shape, max_keypoints: int) -> OdomState:
-    f = _empty_features(cropped_shape, max_keypoints)
+    # cur and prev get distinct buffers: the step donates its input state,
+    # and aliased leaves cannot be donated.
     return OdomState(
-        cur=f,
-        prev=f,
+        cur=_empty_features(cropped_shape, max_keypoints),
+        prev=_empty_features(cropped_shape, max_keypoints),
         has_cur=jnp.asarray(False),
         has_prev=jnp.asarray(False),
         c_T_w=jnp.eye(4, dtype=jnp.float32),
@@ -98,6 +99,49 @@ def init_state(cropped_shape, max_keypoints: int) -> OdomState:
         skipped=jnp.asarray(0, jnp.int32),
         skip_code=jnp.asarray(0, jnp.int32),
     )
+
+
+def make_point_cloud_transform(cfg: OdometerConfig):
+    """Standalone transform-gating stage (reference stereo_odometer.py:177-223)
+    so the skip-cause semantics are unit-testable without a camera."""
+    def point_cloud_transform(pts_a, pts_b, mask, skipped, skip_code):
+        """Reference stereo_odometer.py:177-223 with identical gating order.
+        Returns (T, ok, skip_code')."""
+        if cfg.rigidity_threshold > 0:
+            clique = rigid_body_filter(pts_a, pts_b, mask,
+                                       cfg.rigidity_threshold)
+            mask = mask & (clique > 0)
+        n1 = jnp.sum(mask.astype(jnp.int32))
+        rigidity_cause = n1 < 10
+        skip_code = jnp.where(rigidity_cause, SKIP_RIGIDITY, skip_code)
+
+        if cfg.outlier_threshold > 0:
+            refined = outlier_filter(pts_a, pts_b, mask,
+                                     cfg.outlier_threshold)
+            mask = jnp.where(n1 >= 10, refined, mask)
+
+        n2 = jnp.sum(mask.astype(jnp.int32))
+        too_few = n2 < cfg.min_matches
+        skip_code = jnp.where(too_few & ~rigidity_cause, SKIP_OUTLIER,
+                              skip_code)
+
+        T = kabsch(pts_a, pts_b, mask)
+        is_nan = jnp.any(jnp.isnan(T))
+        skip_code = jnp.where(~too_few & is_nan, SKIP_NAN, skip_code)
+
+        lim = (skipped + 1).astype(jnp.float32)
+        big_dist = jnp.linalg.norm(T[:3, 3]) > cfg.max_distance_change * lim
+        big_rot = (
+            rotation_magnitude(T[:3, :3]) > cfg.max_rotation_change * lim
+        )
+        gates_on = ~too_few & ~is_nan
+        # Reference assignment order (:217-220): bigdist then bigrot —
+        # bigrot wins if both fire.
+        skip_code = jnp.where(gates_on & big_dist, SKIP_BIGDIST, skip_code)
+        skip_code = jnp.where(gates_on & big_rot, SKIP_BIGROT, skip_code)
+        ok = gates_on & ~big_dist & ~big_rot
+        return T, ok, skip_code
+    return point_cloud_transform
 
 
 def make_pipeline_fns(camera, cfg: OdometerConfig, color: bool):
@@ -138,43 +182,7 @@ def make_pipeline_fns(camera, cfg: OdometerConfig, color: bool):
         enough = n >= cfg.min_matches
         return pts_a, pts_b, mok, enough, n
 
-    def point_cloud_transform(pts_a, pts_b, mask, skipped, skip_code):
-        """Reference stereo_odometer.py:177-223 with identical gating order.
-        Returns (T, ok, skip_code')."""
-        if cfg.rigidity_threshold > 0:
-            clique = rigid_body_filter(pts_a, pts_b, mask,
-                                       cfg.rigidity_threshold)
-            mask = mask & (clique > 0)
-        n1 = jnp.sum(mask.astype(jnp.int32))
-        rigidity_cause = n1 < 10
-        skip_code = jnp.where(rigidity_cause, SKIP_RIGIDITY, skip_code)
-
-        if cfg.outlier_threshold > 0:
-            refined = outlier_filter(pts_a, pts_b, mask,
-                                     cfg.outlier_threshold)
-            mask = jnp.where(n1 >= 10, refined, mask)
-
-        n2 = jnp.sum(mask.astype(jnp.int32))
-        too_few = n2 < cfg.min_matches
-        skip_code = jnp.where(too_few & ~rigidity_cause, SKIP_OUTLIER,
-                              skip_code)
-
-        T = kabsch(pts_a, pts_b, mask)
-        is_nan = jnp.any(jnp.isnan(T))
-        skip_code = jnp.where(~too_few & is_nan, SKIP_NAN, skip_code)
-
-        lim = (skipped + 1).astype(jnp.float32)
-        big_dist = jnp.linalg.norm(T[:3, 3]) > cfg.max_distance_change * lim
-        big_rot = (
-            rotation_magnitude(T[:3, :3]) > cfg.max_rotation_change * lim
-        )
-        gates_on = ~too_few & ~is_nan
-        # Reference assignment order (:217-220): bigdist then bigrot —
-        # bigrot wins if both fire.
-        skip_code = jnp.where(gates_on & big_dist, SKIP_BIGDIST, skip_code)
-        skip_code = jnp.where(gates_on & big_rot, SKIP_BIGROT, skip_code)
-        ok = gates_on & ~big_dist & ~big_rot
-        return T, ok, skip_code
+    point_cloud_transform = make_point_cloud_transform(cfg)
 
     def attempt(fa, fb, skipped, skip_code_in):
         """One matching+fit attempt; mirrors the update() body's use of
@@ -302,15 +310,20 @@ class StereoOdometer:
                                  config.orb.max_keypoints)
         self.skipped_frames = 0
         self.skip_cause = ""
-        self._steps = {}
+
+    # Compiled steps are shared across instances with the same (camera,
+    # config, color): re-instantiating an odometer (common in tests and
+    # multi-sequence runs) must not retrace/recompile the big XLA program.
+    _STEP_CACHE = {}
 
     def _get_step(self, color: bool):
-        if color not in self._steps:
-            self._steps[color] = jax.jit(
+        key = (id(self.stereo), self.config, color)
+        if key not in StereoOdometer._STEP_CACHE:
+            StereoOdometer._STEP_CACHE[key] = jax.jit(
                 make_step(self.stereo, self.config, color),
                 donate_argnums=(0,),
             )
-        return self._steps[color]
+        return StereoOdometer._STEP_CACHE[key]
 
     @property
     def state(self) -> OdomState:
