@@ -65,39 +65,42 @@ def prefilter_xsobel(img, cap: int):
 def bt_cost_volume(left_p, right_p, min_disp: int, num_disp: int):
     """Birchfield-Tomasi cost volume (H, W, D) between prefiltered images.
 
-    For each left pixel x and disparity d the right sample is x - d; out-of-
-    range samples replicate the border column (matching cost there is
-    meaningless and the left invalid band is handled by the caller's tests).
+    TPU-native construction: the right image is broadcast over the disparity
+    lane axis and sheared so that lane d holds right(x - d) (log2(D) roll
+    passes — no gathers, no lane-1 slices). The BT half-sample envelopes of
+    the sheared volume are then plain x-rolls at fixed d, since
+    right(x - d +/- 1) = r_sh(x +/- 1, d).
+
+    Out-of-range samples (x - d < 0) get BIG cost; the caller invalidates
+    that left band anyway.
     """
     H, W = left_p.shape
-    # Half-sample min/max envelopes (BT interpolated neighborhoods).
-    def envelopes(a):
-        am = 0.5 * (a + jnp.roll(a, 1, axis=1))   # value at x - 0.5
-        ap = 0.5 * (a + jnp.roll(a, -1, axis=1))  # value at x + 0.5
+    D = num_disp
+
+    def envelopes(a, axis=1):
+        am = 0.5 * (a + jnp.roll(a, 1, axis=axis))   # value at x - 0.5
+        ap = 0.5 * (a + jnp.roll(a, -1, axis=axis))  # value at x + 0.5
         lo = jnp.minimum(jnp.minimum(am, ap), a)
         hi = jnp.maximum(jnp.maximum(am, ap), a)
         return lo, hi
 
     l_lo, l_hi = envelopes(left_p)
-    r_lo, r_hi = envelopes(right_p)
 
-    # Pad the right image on the left so x - d never underflows.
-    pad = num_disp + abs(min_disp)
-    rp = jnp.pad(right_p, ((0, 0), (pad, 0)), mode="edge")
-    rlo = jnp.pad(r_lo, ((0, 0), (pad, 0)), mode="edge")
-    rhi = jnp.pad(r_hi, ((0, 0), (pad, 0)), mode="edge")
+    # lane d of r_sh holds right(x - (min_disp + d)).
+    rb = jnp.broadcast_to(right_p[..., None], (H, W, D))
+    r_sh = _shear_x(rb, +1, jnp.nan)
+    if min_disp != 0:
+        r_sh = jnp.roll(r_sh, min_disp, axis=1)
+    r_lo, r_hi = envelopes(r_sh, axis=1)
 
-    costs = []
-    for i in range(num_disp):
-        d = min_disp + i
-        s = pad - d
-        r = rp[:, s : s + W]
-        rl = rlo[:, s : s + W]
-        rh = rhi[:, s : s + W]
-        c_l = jnp.maximum(0.0, jnp.maximum(left_p - rh, rl - left_p))
-        c_r = jnp.maximum(0.0, jnp.maximum(r - l_hi, l_lo - r))
-        costs.append(jnp.minimum(c_l, c_r))
-    return jnp.stack(costs, axis=-1)  # (H, W, D)
+    lp = left_p[..., None]
+    c_l = jnp.maximum(0.0, jnp.maximum(lp - r_hi, r_lo - lp))
+    c_r = jnp.maximum(
+        0.0, jnp.maximum(r_sh - l_hi[..., None], l_lo[..., None] - r_sh)
+    )
+    cost = jnp.minimum(c_l, c_r)
+    # NaN marks sheared-out samples (x - d out of range): max cost there.
+    return jnp.where(jnp.isnan(cost), BIG / 1e3, cost)
 
 
 def block_sum(vol, block_size: int):
@@ -114,64 +117,81 @@ def block_sum(vol, block_size: int):
     return sum(v[:, i : i + W] for i in range(block_size))
 
 
-def _scan_dir(cost, xshift: int, p1: float, p2: float, reverse: bool):
-    """Aggregate along axis 0 of (N0, N1, D) ``cost``; the previous step's
-    row is shifted by ``xshift`` along axis 1 (diagonal paths)."""
+def _shift_d(row, k):
+    if k == 0:
+        return row
+    out = jnp.roll(row, k, axis=-1)
+    if k > 0:
+        return out.at[..., :k].set(BIG)
+    return out.at[..., k:].set(BIG)
 
-    def shift_d(row, k):
-        if k == 0:
-            return row
-        out = jnp.roll(row, k, axis=-1)
-        if k > 0:
-            return out.at[..., :k].set(BIG)
-        return out.at[..., k:].set(BIG)
 
-    def shift_x(row, k):
-        if k == 0:
-            return row
-        out = jnp.roll(row, k, axis=0)
-        if k > 0:
-            return out.at[:k].set(BIG)
-        return out.at[k:].set(BIG)
+def _shift_x(row, k):
+    if k == 0:
+        return row
+    out = jnp.roll(row, k, axis=0)
+    if k > 0:
+        return out.at[:k].set(BIG)
+    return out.at[k:].set(BIG)
 
-    def step(prev, c_row):
-        pr = shift_x(prev, xshift)
-        minprev = jnp.min(pr, axis=-1, keepdims=True)
-        cand = jnp.minimum(pr, jnp.minimum(shift_d(pr, 1), shift_d(pr, -1)) + p1)
-        cand = jnp.minimum(cand, minprev + p2)
-        L = c_row + cand - minprev
-        return L, L
 
-    init = jnp.full(cost.shape[1:], BIG, cost.dtype)
-    _, L = jax.lax.scan(step, init, cost, reverse=reverse)
-    return L
+def _scan_dirs(cost, xshifts, p1: float, p2: float, reverse: bool):
+    """Aggregate along axis 0 of (N0, N1, D) ``cost`` for several directions
+    at once (one lax.scan; directions differ only in their axis-1 shift).
+    Returns the SUM of the directions' path costs — individual L volumes are
+    never materialized."""
+
+    def step(prevs, c_row):
+        new = []
+        total = None
+        for prev, k in zip(prevs, xshifts):
+            pr = _shift_x(prev, k)
+            minprev = jnp.min(pr, axis=-1, keepdims=True)
+            cand = jnp.minimum(
+                pr, jnp.minimum(_shift_d(pr, 1), _shift_d(pr, -1)) + p1
+            )
+            cand = jnp.minimum(cand, minprev + p2)
+            L = c_row + cand - minprev
+            new.append(L)
+            total = L if total is None else total + L
+        return tuple(new), total
+
+    init = tuple(
+        jnp.full(cost.shape[1:], BIG, cost.dtype) for _ in xshifts
+    )
+    _, S = jax.lax.scan(step, init, cost, reverse=reverse)
+    return S
 
 
 def aggregate(cost, params: SGBMParams):
     """Sum of directional path costs S(p, d). Directions:
        4: left, right, up, down
-       5: left, up-left, up, up-right, right   (OpenCV MODE_SGBM-like)
+       5: left, right, up-left, up, up-right  (OpenCV MODE_SGBM-like)
        8: all of the above + down-left, down, down-right
+
+    Same-orientation directions are batched into one scan: 8 paths cost
+    four lax.scans (top-down, bottom-up, left-right, right-left).
     """
     p1, p2 = float(params.effective_p1), float(params.effective_p2)
+    if jax.default_backend() == "tpu":
+        from openvo_tpu.ops.sgbm_pallas import aggregate_pallas
+
+        return aggregate_pallas(cost, params.num_paths, p1, p2)
     costT = jnp.swapaxes(cost, 0, 1)  # (W, H, D) for horizontal paths
 
     def horiz(reverse):
-        return jnp.swapaxes(_scan_dir(costT, 0, p1, p2, reverse), 0, 1)
+        return jnp.swapaxes(_scan_dirs(costT, (0,), p1, p2, reverse), 0, 1)
 
-    def vert(xshift, reverse):
-        return _scan_dir(cost, xshift, p1, p2, reverse)
-
+    S = horiz(False) + horiz(True)
     if params.num_paths == 4:
-        dirs = [horiz(False), horiz(True), vert(0, False), vert(0, True)]
+        S += _scan_dirs(cost, (0,), p1, p2, False)
+        S += _scan_dirs(cost, (0,), p1, p2, True)
     elif params.num_paths == 5:
-        dirs = [horiz(False), horiz(True), vert(0, False),
-                vert(1, False), vert(-1, False)]
+        S += _scan_dirs(cost, (0, 1, -1), p1, p2, False)
     else:
-        dirs = [horiz(False), horiz(True),
-                vert(0, False), vert(1, False), vert(-1, False),
-                vert(0, True), vert(1, True), vert(-1, True)]
-    return functools.reduce(jnp.add, dirs)
+        S += _scan_dirs(cost, (0, 1, -1), p1, p2, False)
+        S += _scan_dirs(cost, (0, 1, -1), p1, p2, True)
+    return S
 
 
 def _wta(S, params: SGBMParams):
@@ -195,10 +215,14 @@ def _wta(S, params: SGBMParams):
         valid &= ~bad
 
     # Parabolic subpixel: offset = (S[d-1] - S[d+1]) / (2*(S[d-1]+S[d+1]-2*S[d]))
-    bm1 = jnp.clip(best - 1, 0, D - 1)
-    bp1 = jnp.clip(best + 1, 0, D - 1)
-    s_m = jnp.take_along_axis(S, bm1[..., None], axis=-1)[..., 0]
-    s_p = jnp.take_along_axis(S, bp1[..., None], axis=-1)[..., 0]
+    # Neighbor costs via masked reductions (one-hot compare on the lane axis)
+    # instead of take_along_axis: gathers on the disparity axis are slow on
+    # TPU, compare+reduce stays on the VPU.
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, S.shape, 2)
+    bm1 = jnp.clip(best - 1, 0, D - 1)[..., None]
+    bp1 = jnp.clip(best + 1, 0, D - 1)[..., None]
+    s_m = jnp.sum(jnp.where(d_idx == bm1, S, 0.0), axis=-1)
+    s_p = jnp.sum(jnp.where(d_idx == bp1, S, 0.0), axis=-1)
     denom = s_m + s_p - 2.0 * minS
     interior = (best > 0) & (best < D - 1) & (denom > 0)
     frac = jnp.where(interior, (s_m - s_p) / jnp.maximum(2.0 * denom, 1e-9), 0.0)
@@ -209,23 +233,60 @@ def _wta(S, params: SGBMParams):
     return disp16, valid, best
 
 
+def _shear_x(vol, sign: int, fill):
+    """Per-lane shear of an (H, W, D) volume along the W axis:
+    for sign=-1, out[y, x, d] = vol[y, x + d, d]; for sign=+1,
+    out[y, x, d] = vol[y, x - d, d]. Out-of-range positions become ``fill``.
+
+    Implemented as log2(D) roll+select passes (lane-indexed binary shifts),
+    which is TPU-friendly: no gathers, no per-lane slices.
+    """
+    H, W, D = vol.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+    out = vol
+    k = 1
+    while k < D:
+        rolled = jnp.roll(out, sign * k, axis=1)
+        if sign < 0:
+            # content moves left; the last k columns are invalid
+            rolled = jnp.where(xs >= W - k, fill, rolled)
+        else:
+            rolled = jnp.where(xs < k, fill, rolled)
+        out = jnp.where((lane & k) != 0, rolled, out)
+        k *= 2
+    return out
+
+
 def _lr_check(S, best_left, params: SGBMParams):
     """Left-right consistency: recompute the right image's WTA disparity from
     the same aggregated volume (costR(y, xr, d) = S(y, xr + d, d)) and check
-    |dL(x) - dR(x - dL(x))| <= disp12MaxDiff."""
-    H, W, D = S.shape
-    xr = jnp.arange(W)[None, :, None]
-    d = jnp.arange(D)[None, None, :]
-    xl = jnp.clip(xr + d, 0, W - 1)
-    costR = jnp.take_along_axis(S, jnp.broadcast_to(xl, (H, W, D)), axis=1)
-    in_range = (xr + d) < W
-    costR = jnp.where(in_range, costR, BIG)
-    bestR = jnp.argmin(costR, axis=-1)
+    |dL(x) - dR(x - dL(x))| <= disp12MaxDiff.
 
-    x = jnp.arange(W)[None, :]
-    xr_of_l = jnp.clip(x - best_left, 0, W - 1)
-    dR = jnp.take_along_axis(bestR, xr_of_l, axis=1)
+    costR is assembled with D static diagonal slices of a padded volume
+    (arbitrary-index gathers on TPU are orders of magnitude slower); the
+    final dR lookup along x is similarly replaced by a shift-and-select
+    reduction over the disparity axis.
+    """
+    H, W, D = S.shape
+    # costR[:, xr, d] = S[:, xr + d, d]: a shear along (x, d), applied in
+    # log2(D) full-volume passes — pass k shifts by 2^k only the lanes whose
+    # disparity index has bit k set. Pure rolls + selects on the VPU.
+    costR = _shear_x(S, -1, BIG)
+    bestR = jnp.argmin(costR, axis=-1).astype(jnp.int32)
+
+    # dR_at_left[:, x] = bestR[:, x - best_left(x)]: build the reverse shear
+    # shifted[..., d] = bestR[x - d] the same way, then select lane
+    # best_left with a one-hot reduction.
+    bestR_b = jnp.broadcast_to(bestR[..., None], (H, W, D)).astype(jnp.int32)
+    shifted = _shear_x(bestR_b, +1, -(1 << 20))
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W, D), 2)
+        == best_left[..., None]
+    )
+    dR = jnp.sum(jnp.where(onehot, shifted, 0), axis=-1)
     ok = jnp.abs(best_left - dR) <= params.disp12_max_diff
+    x = jnp.arange(W)[None, :]
     ok |= (x - best_left) < 0  # no right pixel to check against
     return ok
 
