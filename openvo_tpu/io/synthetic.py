@@ -25,6 +25,7 @@ def make_texture(rng: np.random.Generator, size: int = 1024) -> np.ndarray:
     """
     tex = np.zeros((size, size), np.float32)
     for octave, amp in ((16, 1.0), (64, 0.9), (256, 0.7), (1024, 0.25)):
+        octave = min(octave, size)
         coarse = rng.uniform(0, 1, size=(octave, octave)).astype(np.float32)
         if octave < size:
             # bilinear upsample via repeated linear interp (no cv2 dependency)

@@ -350,3 +350,22 @@ class StereoOdometer:
     @property
     def c_T_w(self):
         return np.asarray(self._state.c_T_w)
+
+    # -- checkpoint / resume (SURVEY.md section 5: the reference has no
+    # runtime persistence; the TPU build saves the full tracking state —
+    # pose chain, skip counters, cached frame features — as npz) ----------
+
+    def save_state(self, path):
+        leaves, _ = jax.tree_util.tree_flatten(self._state)
+        np.savez(path, n_leaves=len(leaves),
+                 **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+        return path
+
+    def load_state(self, path):
+        z = np.load(path)
+        n = int(z["n_leaves"])
+        leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
+        _, treedef = jax.tree_util.tree_flatten(self._state)
+        self._state = jax.tree_util.tree_unflatten(treedef, leaves)
+        self.skipped_frames = int(self._state.skipped)
+        self.skip_cause = SKIP_CAUSE_STRINGS[int(self._state.skip_code)]

@@ -353,12 +353,17 @@ def sgbm_disparity16(left, right, params: SGBMParams):
     C = block_sum(C, params.block_size)
     S = aggregate(C, params)
 
-    disp16, valid, best = _wta(S, params)
-    if params.disp12_max_diff >= 0:
-        valid &= _lr_check(S, best, params)
-    # Left band where the full search range has no real right-image support.
-    x = jnp.arange(left.shape[1])[None, :]
-    valid &= (x - (best + params.min_disparity)) >= 0
+    if jax.default_backend() == "tpu":
+        from openvo_tpu.ops.sgbm_pallas import wta_pallas
+
+        disp16, valid = wta_pallas(S, params)
+    else:
+        disp16, valid, best = _wta(S, params)
+        if params.disp12_max_diff >= 0:
+            valid &= _lr_check(S, best, params)
+        # Left band: the full search range has no right-image support.
+        x = jnp.arange(left.shape[1])[None, :]
+        valid &= (x - (best + params.min_disparity)) >= 0
     if params.speckle_window_size > 0 and params.speckle_range > 0:
         valid = _speckle_filter(disp16, valid, params)
 

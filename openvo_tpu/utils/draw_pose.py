@@ -78,7 +78,7 @@ def drawPoseOnImage(T, img):
     roll, pitch, yaw = rot2RPY(T)
     rep = [np.linalg.norm([roll[i], pitch[i], yaw[i]]) for i in (0, 1)]
     i = 1 if rep[0] > rep[1] else 0
-    r, p, y = float(roll[i]), float(pitch[i]), float(yaw[i])
+    r, p, y = roll[i].item(), pitch[i].item(), yaw[i].item()
 
     t_x, t_y, t_z = float(T[0, 3]), float(T[1, 3]), float(T[2, 3])
     hgt = img.shape[0]

@@ -1,0 +1,114 @@
+"""Parallel layer: vmapped multi-camera rig (BASELINE config 4), pose
+composition scan, and the multi-chip sharded pipeline (BASELINE config 5,
+validated on an 8-virtual-device CPU mesh in a subprocess — the SURVEY.md
+section 4 'fake backend' strategy)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openvo_tpu import OdometerConfig, ORBParams, StereoCamera
+from openvo_tpu.config import SGBMParams
+from openvo_tpu.io.synthetic import render_stereo_sequence
+from openvo_tpu.parallel.rig import RigOdometer
+from openvo_tpu.parallel.sharding import compose_trajectory, make_relative_pose_fn
+
+IMG_SIZE = (256, 192)
+SGBM = SGBMParams(num_disparities=64, block_size=5, p1=200, p2=800,
+                  disp12_max_diff=1, pre_filter_cap=63, uniqueness_ratio=10)
+
+
+def small_setup(n_frames=4):
+    seq = render_stereo_sequence(n_frames=n_frames, img_size=IMG_SIZE,
+                                 f=280.0, baseline=0.5, seed=0, step=0.3,
+                                 yaw_rate=0.004)
+    cam = StereoCamera(seq["K"], seq["dist"], seq["K"], seq["dist"],
+                       {"R": seq["R"], "T": seq["T"]}, SGBM, IMG_SIZE)
+    cfg = OdometerConfig(nfeatures=256,
+                         orb=ORBParams(nfeatures=256, max_keypoints=256))
+    return seq, cam, cfg
+
+
+def test_compose_trajectory_matches_sequential():
+    rng = np.random.default_rng(0)
+    import cv2
+    Ts = []
+    for _ in range(7):
+        R, _ = cv2.Rodrigues(rng.normal(scale=0.05, size=3))
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = rng.normal(scale=0.1, size=3)
+        Ts.append(T)
+    Ts = np.stack(Ts).astype(np.float32)
+    out = np.asarray(compose_trajectory(jnp.asarray(Ts)))
+    acc = np.eye(4, dtype=np.float32)
+    for i in range(7):
+        acc = Ts[i] @ acc
+        np.testing.assert_allclose(out[i], acc, atol=1e-4)
+
+
+def test_rig_odometer_vmaps_independent_cameras():
+    seq, cam, cfg = small_setup(3)
+    n_cams = 3
+    rig = RigOdometer(cam, n_cams, cfg)
+    for i in range(3):
+        l = np.clip(seq["left"][i], 0, 255).astype(np.uint8)
+        r = np.clip(seq["right"][i], 0, 255).astype(np.uint8)
+        # all cameras see the same frames -> identical results per camera
+        oks = rig.update(np.stack([l] * n_cams), np.stack([r] * n_cams))
+        assert oks.shape == (n_cams,)
+        assert oks.all(), f"frame {i}: {oks}"
+    poses = rig.current_poses()
+    assert poses.shape == (n_cams, 4, 4)
+    for c in range(1, n_cams):
+        np.testing.assert_allclose(poses[c], poses[0], atol=1e-5)
+    # And the rig actually moved forward.
+    assert poses[0][2, 3] > 0.3
+
+
+def test_batch_relative_poses_single_device():
+    seq, cam, cfg = small_setup(4)
+    fn = jax.jit(make_relative_pose_fn(cam, cfg))
+    ls = jnp.asarray(np.clip(seq["left"], 0, 255).astype(np.uint8))
+    rs = jnp.asarray(np.clip(seq["right"], 0, 255).astype(np.uint8))
+    T_rel, ok = fn(ls, rs)
+    ok = np.asarray(ok)
+    assert ok.shape == (4,)
+    assert ok[0] and ok[1:].sum() >= 2
+    # relative motion ~ 0.3m forward per tracked frame (camera convention:
+    # T maps prev points into the new frame -> translation is -step in z)
+    T_rel = np.asarray(T_rel)
+    for i in range(1, 4):
+        if ok[i]:
+            assert abs(T_rel[i][2, 3] + 0.3) < 0.15, T_rel[i][:3, 3]
+
+
+SHARDED_SUBPROCESS = r"""
+import numpy as np
+import jax
+from __graft_entry__ import dryrun_multichip
+dryrun_multichip(8)
+print("SHARDED_OK")
+"""
+
+
+@pytest.mark.slow
+def test_sharded_trajectory_on_cpu_mesh():
+    """Run the full multi-chip pipeline on 8 virtual CPU devices in a
+    subprocess (the main process owns the TPU backend)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("OPENVO_TEST_PLATFORM", None)
+    out = subprocess.run(
+        [sys.executable, "-c", SHARDED_SUBPROCESS],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=3000,
+    )
+    assert "SHARDED_OK" in out.stdout, out.stdout + out.stderr
