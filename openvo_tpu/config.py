@@ -32,7 +32,9 @@ class SGBMParams:
     uniqueness_ratio: int = 0
     speckle_window_size: int = 0
     speckle_range: int = 0
-    num_paths: int = 8         # 4, 5 or 8 aggregation directions
+    num_paths: int = 5         # 4, 5 or 8 directions; 5 = OpenCV MODE_SGBM
+                               # (the reference leaves mode at default,
+                               #  stereo_camera.py:26-27)
 
     def __post_init__(self):
         if self.num_disparities % 16 != 0 or self.num_disparities <= 0:

@@ -24,7 +24,7 @@ from openvo_tpu.config import SGBMParams
 from openvo_tpu.geometry.rectify import init_undistort_rectify_map, stereo_rectify
 from openvo_tpu.geometry.reproject import reproject_image_to_3d
 from openvo_tpu.ops.image import bgr_to_gray
-from openvo_tpu.ops.remap import remap_bilinear
+from openvo_tpu.ops.remap import make_remap, remap_bilinear
 from openvo_tpu.ops.sgbm import sgbm_disparity
 
 
@@ -98,6 +98,10 @@ class StereoCamera:
                                               self.img_size)
         self.map_left = (jnp.asarray(mlx), jnp.asarray(mly))
         self.map_right = (jnp.asarray(mrx), jnp.asarray(mry))
+        # Specialized remap closures (bounded roll+select when displacement
+        # allows; see ops/remap.py).
+        self._remap_left = make_remap(*self.map_left)
+        self._remap_right = make_remap(*self.map_right)
 
         if isinstance(sgbm_params, SGBMParams):
             self.sgbm = sgbm_params
@@ -115,10 +119,10 @@ class StereoCamera:
     # -- per-frame ops ------------------------------------------------------
 
     def undistort_rectify_left(self, img):
-        return remap_bilinear(jnp.asarray(img), *self.map_left)
+        return self._remap_left(jnp.asarray(img))
 
     def undistort_rectify_right(self, img):
-        return remap_bilinear(jnp.asarray(img), *self.map_right)
+        return self._remap_right(jnp.asarray(img))
 
     def crop_to_valid_region_left(self, img):
         x, y, w, h = self.valid_region_left
@@ -132,7 +136,7 @@ class StereoCamera:
         """Return the pure function (imgL, imgR) -> (img_3d, disparity,
         img_left), all cropped — the jittable core of reference
         stereo_camera.py:43-55."""
-        map_l, map_r, q = self.map_left, self.map_right, self._q_dev
+        remap_l, remap_r, q = self._remap_left, self._remap_right, self._q_dev
         sgbm_params = self.sgbm
         sl = self.crop_slice
 
@@ -143,8 +147,8 @@ class StereoCamera:
             img_left = img_left.astype(jnp.float32)
             img_right = img_right.astype(jnp.float32)
             if not preprocessed:
-                img_left = remap_bilinear(img_left, *map_l)
-                img_right = remap_bilinear(img_right, *map_r)
+                img_left = remap_l(img_left)
+                img_right = remap_r(img_right)
             disparity = sgbm_disparity(img_left, img_right, sgbm_params)
             img_3d = reproject_image_to_3d(disparity, q)
             return (img_3d[sl[0], sl[1], :], disparity[sl[0], sl[1]],

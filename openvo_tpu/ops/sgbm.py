@@ -84,21 +84,25 @@ def bt_cost_volume(left_p, right_p, min_disp: int, num_disp: int):
         hi = jnp.maximum(jnp.maximum(am, ap), a)
         return lo, hi
 
-    l_lo, l_hi = envelopes(left_p)
+    # Prefiltered values are integers in [0, 2*cap] <= 126 and the BT
+    # envelopes are half-integers < 128 — all EXACT in bfloat16, so the
+    # heavy broadcast/shear/envelope stage runs in bf16 (half the HBM
+    # traffic); the final cost is promoted back to f32.
+    l_lo, l_hi = envelopes(left_p.astype(jnp.bfloat16))
 
     # lane d of r_sh holds right(x - (min_disp + d)).
-    rb = jnp.broadcast_to(right_p[..., None], (H, W, D))
+    rb = jnp.broadcast_to(right_p.astype(jnp.bfloat16)[..., None], (H, W, D))
     r_sh = _shear_x(rb, +1, jnp.nan)
     if min_disp != 0:
         r_sh = jnp.roll(r_sh, min_disp, axis=1)
     r_lo, r_hi = envelopes(r_sh, axis=1)
 
-    lp = left_p[..., None]
-    c_l = jnp.maximum(0.0, jnp.maximum(lp - r_hi, r_lo - lp))
+    lp = left_p.astype(jnp.bfloat16)[..., None]
+    c_l = jnp.maximum(0, jnp.maximum(lp - r_hi, r_lo - lp))
     c_r = jnp.maximum(
-        0.0, jnp.maximum(r_sh - l_hi[..., None], l_lo[..., None] - r_sh)
+        0, jnp.maximum(r_sh - l_hi[..., None], l_lo[..., None] - r_sh)
     )
-    cost = jnp.minimum(c_l, c_r)
+    cost = jnp.minimum(c_l, c_r).astype(jnp.float32)
     # NaN marks sheared-out samples (x - d out of range): max cost there.
     return jnp.where(jnp.isnan(cost), BIG / 1e3, cost)
 
@@ -349,7 +353,8 @@ def sgbm_disparity16(left, right, params: SGBMParams):
     cap = max(params.pre_filter_cap, 15) | 1
     lp = prefilter_xsobel(left, cap)
     rp = prefilter_xsobel(right, cap)
-    C = bt_cost_volume(lp, rp, params.min_disparity, params.num_disparities)
+    C = bt_cost_volume(lp, rp, params.min_disparity,
+                       params.num_disparities)
     C = block_sum(C, params.block_size)
     S = aggregate(C, params)
 
