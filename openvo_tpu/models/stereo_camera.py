@@ -24,7 +24,7 @@ from openvo_tpu.config import SGBMParams
 from openvo_tpu.geometry.rectify import init_undistort_rectify_map, stereo_rectify
 from openvo_tpu.geometry.reproject import reproject_image_to_3d
 from openvo_tpu.ops.image import bgr_to_gray
-from openvo_tpu.ops.remap import make_remap, remap_bilinear
+from openvo_tpu.ops.remap import make_remap
 from openvo_tpu.ops.sgbm import sgbm_disparity
 
 

@@ -154,13 +154,15 @@ def make_pipeline_fns(camera, cfg: OdometerConfig, color: bool):
     compute3d = camera.compute_3d_fn(color, cfg.preprocessed_frames)
 
     def extract(img_left, img_right) -> FrameFeatures:
-        xyz, disp, img = compute3d(img_left, img_right)
+        with jax.named_scope("compute_3d"):
+            xyz, disp, img = compute3d(img_left, img_right)
         # Disparity feature mask (reference stereo_odometer.py:38-41).
         fmask = (
             (disp >= cfg.min_valid_disparity)
             & (disp <= cfg.max_valid_disparity)
         ).astype(jnp.uint8)
-        feats = detect_and_compute(img, fmask, cfg.orb)
+        with jax.named_scope("orb"):
+            feats = detect_and_compute(img, fmask, cfg.orb)
         return FrameFeatures(
             xyz=xyz,
             disp=disp,

@@ -10,7 +10,6 @@ Everything here is pure jnp; XLA fuses these into neighboring kernels.
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,6 @@ OpenCV's dynamic vectors.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,6 @@ MIN_VALID_DISPARITY=4 band excludes (stereo_odometer.py:6-7,38-41).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -351,12 +350,15 @@ def sgbm_disparity16(left, right, params: SGBMParams):
     """Full SGBM pipeline -> int16-grid disparity (x16) with invalid =
     (minDisparity - 1) * 16, exactly the contract of cv2.StereoSGBM.compute."""
     cap = max(params.pre_filter_cap, 15) | 1
-    lp = prefilter_xsobel(left, cap)
-    rp = prefilter_xsobel(right, cap)
-    C = bt_cost_volume(lp, rp, params.min_disparity,
-                       params.num_disparities)
-    C = block_sum(C, params.block_size)
-    S = aggregate(C, params)
+    with jax.named_scope("sgbm_prefilter"):
+        lp = prefilter_xsobel(left, cap)
+        rp = prefilter_xsobel(right, cap)
+    with jax.named_scope("sgbm_cost_volume"):
+        C = bt_cost_volume(lp, rp, params.min_disparity,
+                           params.num_disparities)
+        C = block_sum(C, params.block_size)
+    with jax.named_scope("sgbm_aggregate"):
+        S = aggregate(C, params)
 
     if jax.default_backend() == "tpu":
         from openvo_tpu.ops.sgbm_pallas import wta_pallas
