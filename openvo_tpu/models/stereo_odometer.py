@@ -223,10 +223,20 @@ def make_step(camera, cfg: OdometerConfig, color: bool):
         T1, ok1, code1, nm1 = attempt(state.cur, feats, state.skipped,
                                       state.skip_code)
         # Attempt 2 (fallback): against the prev-prev frame, starting from
-        # attempt 1's skip-cause mutations (reference :139-150).
-        T2, ok2, code2, nm2 = attempt(state.prev, feats, state.skipped,
-                                      code1)
+        # attempt 1's skip-cause mutations (reference :139-150). Guarded by
+        # lax.cond: in the common tracking-healthy case the whole fallback
+        # matching/fit pipeline is skipped at runtime.
         use2 = ~ok1 & state.has_prev
+
+        def run_attempt2(_):
+            return attempt(state.prev, feats, state.skipped, code1)
+
+        def skip_attempt2(_):
+            return (jnp.eye(4, dtype=jnp.float32), jnp.asarray(False),
+                    code1, jnp.asarray(0, jnp.int32))
+
+        T2, ok2, code2, nm2 = jax.lax.cond(use2, run_attempt2,
+                                           skip_attempt2, None)
         ok = ok1 | (use2 & ok2)
         code_final = jnp.where(use2, code2, code1)
 
@@ -352,6 +362,41 @@ class StereoOdometer:
     @property
     def c_T_w(self):
         return np.asarray(self._state.c_T_w)
+
+    # -- reference attribute surface (stereo_odometer.py:17-25): the padded
+    # frame-state arrays, exposed with validity applied -------------------
+
+    @property
+    def current_3d(self):
+        return np.asarray(self._state.cur.xyz)
+
+    @property
+    def current_disparity(self):
+        return np.asarray(self._state.cur.disp)
+
+    @property
+    def current_kps(self):
+        v = np.asarray(self._state.cur.kp_valid)
+        return np.asarray(self._state.cur.kp_xy)[v]
+
+    @property
+    def current_desc(self):
+        v = np.asarray(self._state.cur.kp_valid)
+        return np.asarray(self._state.cur.desc)[v]
+
+    @property
+    def prev_3d(self):
+        return np.asarray(self._state.prev.xyz)
+
+    @property
+    def prev_kps(self):
+        v = np.asarray(self._state.prev.kp_valid)
+        return np.asarray(self._state.prev.kp_xy)[v]
+
+    @property
+    def prev_desc(self):
+        v = np.asarray(self._state.prev.kp_valid)
+        return np.asarray(self._state.prev.desc)[v]
 
     # -- checkpoint / resume (SURVEY.md section 5: the reference has no
     # runtime persistence; the TPU build saves the full tracking state —

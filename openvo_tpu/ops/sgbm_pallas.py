@@ -70,7 +70,7 @@ def _sweep_kernel(c_ref, out_ref, carry_ref, *, xshifts, p1, p2, g, reverse):
         out_ref[r] = total
 
 
-def _pick_g(n1: int, d: int, bytes_per_elem: int = 20, cap: int = 8) -> int:
+def _pick_g(n1: int, d: int, bytes_per_elem: int = 20, cap: int = 16) -> int:
     """Rows per grid step: as many as fit a ~12MB VMEM budget (input+output
     double buffers plus kernel temporaries ~ bytes_per_elem per element)."""
     return max(1, min(cap, int(12e6 // (bytes_per_elem * n1 * d))))
