@@ -231,3 +231,21 @@ def test_gate_outlier():
     b[6:] += np.linspace(1, 3, 6)[:, None].astype(np.float32)
     T, ok, code = run_pct(cfg, a, b, m)
     assert not ok and code in (SKIP_OUTLIER, SKIP_NAN)
+
+
+def test_color_input_path(camera):
+    """BGR 3-channel input goes through the in-graph grayscale conversion
+    (reference stereo_camera.py:44-47) and tracks identically to gray."""
+    seqc = make_sequence(3)
+    odo_g = StereoOdometer(camera)
+    odo_c = StereoOdometer(camera)
+    for i in range(3):
+        l = np.clip(seqc["left"][i], 0, 255).astype(np.uint8)
+        r = np.clip(seqc["right"][i], 0, 255).astype(np.uint8)
+        lc = np.stack([l] * 3, axis=-1)
+        rc = np.stack([r] * 3, axis=-1)
+        ok_g = odo_g.update(l, r)
+        ok_c = odo_c.update(lc, rc)
+        assert ok_g == ok_c
+    np.testing.assert_allclose(odo_c.current_pose(), odo_g.current_pose(),
+                               atol=1e-3)
