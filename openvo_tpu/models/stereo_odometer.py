@@ -359,6 +359,58 @@ class StereoOdometer:
         """camera-in-world pose = inv(c_T_w) (reference :225-226)."""
         return np.linalg.inv(np.asarray(self._state.c_T_w, dtype=np.float64))
 
+    # -- reference public helper methods (NumPy in/out convenience wrappers
+    # over the jitted implementations) -------------------------------------
+
+    def feature_mask(self, disparity):
+        """uint8 0/255 mask of pixels with reliable depth (reference
+        stereo_odometer.py:38-41)."""
+        d = np.asarray(disparity)
+        mask = (d >= self.MIN_VALID_DISPARITY) & (d <= self.MAX_VALID_DISPARITY)
+        return mask.astype(np.uint8) * 255
+
+    def bilinear_interpolate_pixels(self, img, x, y):
+        """Inf-aware renormalizing bilinear sample of an (H, W, 3) 3D image
+        at one subpixel position (reference stereo_odometer.py:50-79)."""
+        from openvo_tpu.ops.interpolate import bilinear_sample_3d
+
+        out = bilinear_sample_3d(
+            jnp.asarray(np.asarray(img, np.float32)),
+            jnp.asarray([float(x)], jnp.float32),
+            jnp.asarray([float(y)], jnp.float32),
+        )
+        return np.asarray(out)[0]
+
+    def rigid_body_filter(self, prev_pts, pts):
+        """Greedy max-clique rigidity filter; 0/1 int array (reference
+        stereo_odometer.py:82-105)."""
+        prev_pts = np.asarray(prev_pts, np.float32)
+        pts = np.asarray(pts, np.float32)
+        mask = np.ones(len(pts), bool)
+        out = rigid_body_filter(jnp.asarray(prev_pts), jnp.asarray(pts),
+                                jnp.asarray(mask), self.config.rigidity_threshold)
+        return np.asarray(out)
+
+    def point_cloud_transform(self, current_pts, next_pts):
+        """Rigid fit + filters + motion gates; returns the 4x4 transform or
+        None, updating skip_cause exactly like reference
+        stereo_odometer.py:177-223."""
+        cur = np.asarray(current_pts, np.float32)
+        nxt = np.asarray(next_pts, np.float32)
+        fn = make_point_cloud_transform(self.config)
+        T, ok, code = fn(
+            jnp.asarray(cur), jnp.asarray(nxt),
+            jnp.ones((len(cur),), bool),
+            jnp.asarray(self.skipped_frames, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        )
+        code = int(code)
+        if code:
+            self.skip_cause = SKIP_CAUSE_STRINGS[code]
+        if not bool(ok):
+            return None
+        return np.asarray(T)
+
     @property
     def c_T_w(self):
         return np.asarray(self._state.c_T_w)

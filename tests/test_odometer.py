@@ -249,3 +249,30 @@ def test_color_input_path(camera):
         assert ok_g == ok_c
     np.testing.assert_allclose(odo_c.current_pose(), odo_g.current_pose(),
                                atol=1e-3)
+
+
+def test_reference_helper_methods(camera):
+    """The reference's public helper methods exist and behave (feature_mask,
+    bilinear_interpolate_pixels, rigid_body_filter, point_cloud_transform)."""
+    odo = StereoOdometer(camera, rigidity_threshold=0.05)
+    disp = np.array([[3.0, 4.0], [100.0, 101.0]])
+    m = odo.feature_mask(disp)
+    np.testing.assert_array_equal(m, [[0, 255], [255, 0]])
+
+    img = np.arange(12, dtype=np.float32).reshape(2, 2, 3)
+    v = odo.bilinear_interpolate_pixels(img, 0.5, 0.5)
+    np.testing.assert_allclose(v, img.reshape(4, 3).mean(axis=0))
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-2, 2, (20, 3)).astype(np.float32)
+    b = a + np.float32([0.05, 0, 0])
+    b[:4] += 1.0  # non-rigid outliers
+    clique = odo.rigid_body_filter(a, b)
+    assert clique[:4].sum() == 0 and clique[4:].sum() >= 14
+
+    T = odo.point_cloud_transform(a[4:], b[4:])
+    assert T is not None
+    np.testing.assert_allclose(T[:3, 3], [0.05, 0, 0], atol=1e-3)
+    # failure path returns None and sets skip_cause
+    big = odo.point_cloud_transform(a[4:], a[4:] + np.float32([5, 0, 0]))
+    assert big is None and odo.skip_cause == "bigdist"
