@@ -101,9 +101,16 @@ def bt_cost_volume(left_p, right_p, min_disp: int, num_disp: int):
     c_r = jnp.maximum(
         0, jnp.maximum(r_sh - l_hi[..., None], l_lo[..., None] - r_sh)
     )
-    cost = jnp.minimum(c_l, c_r).astype(jnp.float32)
-    # NaN marks sheared-out samples (x - d out of range): max cost there.
-    return jnp.where(jnp.isnan(cost), BIG / 1e3, cost)
+    cost = jnp.minimum(c_l, c_r)
+    # Pixel costs are half-integers <= 252: x2 is an exact int16 encoding.
+    # Downstream box sums (<= 252*2*25 = 12600) stay exact in int16 at half
+    # the HBM traffic; the aggregation decodes to f32 (x0.5) on load.
+    # NaN marks sheared-out samples (x - d out of range): a max-cost
+    # sentinel there. The sentinel must satisfy 25 * 2 * s <= 32767 or the
+    # box sum wraps int16 NEGATIVE in fully-invalid windows and SGM then
+    # *prefers* the invalid band; 600 > 2 * max_valid_cost keeps ordering.
+    cost2 = jnp.where(jnp.isnan(cost), jnp.bfloat16(600.0), cost) * 2
+    return cost2.astype(jnp.int16)
 
 
 def block_sum(vol, block_size: int):
@@ -159,8 +166,10 @@ def _scan_dirs(cost, xshifts, p1: float, p2: float, reverse: bool):
             total = L if total is None else total + L
         return tuple(new), total
 
+    if cost.dtype == jnp.int16:
+        cost = cost.astype(jnp.float32) * 0.5
     init = tuple(
-        jnp.full(cost.shape[1:], BIG, cost.dtype) for _ in xshifts
+        jnp.full(cost.shape[1:], BIG, jnp.float32) for _ in xshifts
     )
     _, S = jax.lax.scan(step, init, cost, reverse=reverse)
     return S

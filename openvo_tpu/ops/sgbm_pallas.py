@@ -50,6 +50,9 @@ def _sweep_kernel(c_ref, out_ref, carry_ref, *, xshifts, p1, p2, g, reverse):
     rows = range(g - 1, -1, -1) if reverse else range(g)
     for r in rows:
         c = c_ref[r]
+        if c.dtype == jnp.int16:
+            # int16 x2-grid cost (see sgbm.bt_cost_volume): decode on load.
+            c = c.astype(jnp.float32) * 0.5
         total = jnp.zeros_like(c)
         for j, k in enumerate(xshifts):
             prev = carry_ref[j]
@@ -89,9 +92,10 @@ def sweep(cost, xshifts, p1: float, p2: float, reverse: bool, g: int | None = No
     if g is None:
         g = _pick_g(n1, d)
     n0p = -(-n0 // g) * g
-    cost = cost.astype(jnp.float32)
+    if cost.dtype not in (jnp.float32, jnp.int16):
+        cost = cost.astype(jnp.float32)
     if n0p != n0:
-        pad = jnp.zeros((n0p - n0, n1, d), jnp.float32)
+        pad = jnp.zeros((n0p - n0, n1, d), cost.dtype)
         cost = jnp.concatenate([cost, pad] if not reverse else [pad, cost],
                                axis=0)
     nblocks = n0p // g
