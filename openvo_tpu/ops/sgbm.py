@@ -46,6 +46,18 @@ from openvo_tpu.config import SGBMParams
 BIG = jnp.float32(1e9)
 
 
+def int16_sentinel(block_size: int, cap: int) -> int | None:
+    """Invalid-cost sentinel for the exact int16 x2-grid encoding, or None
+    when no sentinel can both dominate every valid cost (> 4*cap on the x2
+    grid) and keep block_size^2 box sums inside int16 (ADVICE round 1: the
+    old fixed 600 wrapped negative for block_size >= 7)."""
+    max_valid2 = 4 * cap
+    s_max = 32767 // (block_size * block_size)
+    if s_max > max_valid2:
+        return min(s_max, 2 * max_valid2)
+    return None
+
+
 def prefilter_xsobel(img, cap: int):
     """Horizontal Sobel clipped to [-cap, cap] and shifted to [0, 2*cap]."""
     x = jnp.pad(img.astype(jnp.float32), 1, mode="edge")
@@ -61,7 +73,8 @@ def prefilter_xsobel(img, cap: int):
     return jnp.clip(dx, -cap, cap) + cap
 
 
-def bt_cost_volume(left_p, right_p, min_disp: int, num_disp: int):
+def bt_cost_volume(left_p, right_p, min_disp: int, num_disp: int,
+                   block_size: int = 1, cap: int = 63):
     """Birchfield-Tomasi cost volume (H, W, D) between prefiltered images.
 
     TPU-native construction: the right image is broadcast over the disparity
@@ -70,11 +83,20 @@ def bt_cost_volume(left_p, right_p, min_disp: int, num_disp: int):
     the sheared volume are then plain x-rolls at fixed d, since
     right(x - d +/- 1) = r_sh(x +/- 1, d).
 
-    Out-of-range samples (x - d < 0) get BIG cost; the caller invalidates
-    that left band anyway.
+    Out-of-range samples (x - d out of the right image) get a max-cost
+    sentinel; the caller invalidates the left band anyway.
+
+    dtype contract: returns an int16 volume on the exact x2 half-integer
+    grid when ``block_size``/``cap`` admit an overflow-free int16 envelope
+    (encoded sentinel s must satisfy s > 4*cap to dominate every valid cost
+    AND block_size^2 * s <= 32767 so fully-invalid box sums cannot wrap);
+    otherwise falls back to a float32 volume at true cost scale. Downstream
+    (block_sum, the sweeps) accepts either dtype.
     """
     H, W = left_p.shape
     D = num_disp
+    sentinel16 = int16_sentinel(block_size, cap)
+    use_int16 = sentinel16 is not None
 
     def envelopes(a, axis=1):
         am = 0.5 * (a + jnp.roll(a, 1, axis=axis))   # value at x - 0.5
@@ -94,6 +116,16 @@ def bt_cost_volume(left_p, right_p, min_disp: int, num_disp: int):
     r_sh = _shear_x(rb, +1, jnp.nan)
     if min_disp != 0:
         r_sh = jnp.roll(r_sh, min_disp, axis=1)
+        # jnp.roll wraps real pixel data from the opposite image edge into
+        # the volume; those columns would pass the validity checks with
+        # bogus content. Re-fill them with NaN (→ sentinel below). For
+        # min_disp > 0 the wrapped columns are x < min_disp; for
+        # min_disp < 0 they are x >= W + min_disp.
+        xs = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+        if min_disp > 0:
+            r_sh = jnp.where(xs < min_disp, jnp.bfloat16(jnp.nan), r_sh)
+        else:
+            r_sh = jnp.where(xs >= W + min_disp, jnp.bfloat16(jnp.nan), r_sh)
     r_lo, r_hi = envelopes(r_sh, axis=1)
 
     lp = left_p.astype(jnp.bfloat16)[..., None]
@@ -102,15 +134,21 @@ def bt_cost_volume(left_p, right_p, min_disp: int, num_disp: int):
         0, jnp.maximum(r_sh - l_hi[..., None], l_lo[..., None] - r_sh)
     )
     cost = jnp.minimum(c_l, c_r)
-    # Pixel costs are half-integers <= 252: x2 is an exact int16 encoding.
-    # Downstream box sums (<= 252*2*25 = 12600) stay exact in int16 at half
-    # the HBM traffic; the aggregation decodes to f32 (x0.5) on load.
-    # NaN marks sheared-out samples (x - d out of range): a max-cost
-    # sentinel there. The sentinel must satisfy 25 * 2 * s <= 32767 or the
-    # box sum wraps int16 NEGATIVE in fully-invalid windows and SGM then
-    # *prefers* the invalid band; 600 > 2 * max_valid_cost keeps ordering.
-    cost2 = jnp.where(jnp.isnan(cost), jnp.bfloat16(600.0), cost) * 2
-    return cost2.astype(jnp.int16)
+    # Pixel costs are half-integers <= 2*cap: x2 is an exact int16 encoding
+    # that halves HBM traffic; the aggregation decodes to f32 (x0.5) on
+    # load. NaN marks sheared-out/wrapped samples: a max-cost sentinel
+    # there. The sentinel is block-size-aware: block_size^2 * s <= 32767
+    # (or the box sum wraps int16 NEGATIVE in fully-invalid windows and SGM
+    # then *prefers* the invalid band) while s > 4*cap keeps the ordering
+    # above every valid cost. Outside that envelope (block_size >= 13 at
+    # cap=63, or huge preFilterCap) the volume stays float32.
+    nan_mask = jnp.isnan(cost)
+    if use_int16:
+        cost2 = jnp.where(nan_mask, jnp.float32(sentinel16),
+                          cost.astype(jnp.float32) * 2.0)
+        return cost2.astype(jnp.int16)
+    sentinel = jnp.float32(4.0 * cap)
+    return jnp.where(nan_mask, sentinel, cost.astype(jnp.float32))
 
 
 def block_sum(vol, block_size: int):
@@ -185,10 +223,6 @@ def aggregate(cost, params: SGBMParams):
     four lax.scans (top-down, bottom-up, left-right, right-left).
     """
     p1, p2 = float(params.effective_p1), float(params.effective_p2)
-    if jax.default_backend() == "tpu":
-        from openvo_tpu.ops.sgbm_pallas import aggregate_pallas
-
-        return aggregate_pallas(cost, params.num_paths, p1, p2)
     costT = jnp.swapaxes(cost, 0, 1)  # (W, H, D) for horizontal paths
 
     def horiz(reverse):
@@ -364,16 +398,21 @@ def sgbm_disparity16(left, right, params: SGBMParams):
         rp = prefilter_xsobel(right, cap)
     with jax.named_scope("sgbm_cost_volume"):
         C = bt_cost_volume(lp, rp, params.min_disparity,
-                           params.num_disparities)
+                           params.num_disparities,
+                           block_size=params.block_size, cap=cap)
         C = block_sum(C, params.block_size)
-    with jax.named_scope("sgbm_aggregate"):
-        S = aggregate(C, params)
 
     if jax.default_backend() == "tpu":
-        from openvo_tpu.ops.sgbm_pallas import wta_pallas
+        from openvo_tpu.ops.sgbm_pallas import aggregate_wta
 
-        disp16, valid = wta_pallas(S, params)
+        sent = int16_sentinel(params.block_size, cap)
+        cost_max = None if sent is None else (
+            params.block_size * params.block_size * sent)
+        with jax.named_scope("sgbm_aggregate_wta"):
+            disp16, valid = aggregate_wta(C, params, cost_max)
     else:
+        with jax.named_scope("sgbm_aggregate"):
+            S = aggregate(C, params)
         disp16, valid, best = _wta(S, params)
         if params.disp12_max_diff >= 0:
             valid &= _lr_check(S, best, params)

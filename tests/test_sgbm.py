@@ -20,11 +20,12 @@ def synthetic_pair(seed=0, img_size=(256, 160), f=210.0, baseline=0.3):
     return left, right, gt
 
 
-def make_params(num_disp=64, block=5, uniq=10, lr=1, speckle=False):
+def make_params(num_disp=64, block=5, uniq=10, lr=1, speckle=False,
+                min_disp=0, cap=63):
     return SGBMParams(
-        min_disparity=0, num_disparities=num_disp, block_size=block,
+        min_disparity=min_disp, num_disparities=num_disp, block_size=block,
         p1=8 * block * block, p2=32 * block * block,
-        disp12_max_diff=lr, pre_filter_cap=63, uniqueness_ratio=uniq,
+        disp12_max_diff=lr, pre_filter_cap=cap, uniqueness_ratio=uniq,
         speckle_window_size=100 if speckle else 0,
         speckle_range=2 if speckle else 0, num_paths=5,
     )
@@ -44,7 +45,9 @@ def interior_mask(shape, p: SGBMParams):
     H, W = shape
     m = np.zeros((H, W), bool)
     b = p.block_size // 2 + 2
-    m[b:-b, p.num_disparities + b : -b] = True
+    left = p.num_disparities + abs(p.min_disparity) + b
+    right = b + max(0, -p.min_disparity)
+    m[b:-b, left:-right] = True
     return m
 
 
@@ -61,6 +64,33 @@ def test_sgbm_agreement_vs_cv2(seed):
     assert agree1.mean() > 0.9, f"1px agreement {agree1.mean():.3f}"
     # Subpixel: median |diff| under 0.5 px on agreeing pixels
     assert np.median(np.abs(ref[both] - ours[both])) < 0.5
+
+
+@pytest.mark.parametrize("block,min_disp,cap", [
+    (7, 0, 63),     # int16 envelope: 7x7 sentinel sums used to wrap negative
+    (9, 0, 63),     # largest int16-exact block at cap=63
+    (13, 0, 63),    # outside the int16 envelope -> float32 fallback path
+    (5, 16, 63),    # positive minDisparity: roll must not wrap edge data
+    (5, -16, 63),   # negative minDisparity (legal in OpenCV)
+    (5, 0, 301),    # large preFilterCap: sentinel must still dominate
+])
+def test_sgbm_agreement_vs_cv2_param_envelope(block, min_disp, cap):
+    """ADVICE round 1: the cv2-oracle comparison must cover block_size,
+    min_disparity and pre_filter_cap values outside the exactly-safe
+    (5, 0, 63) envelope."""
+    left, right, _ = synthetic_pair(0)
+    p = make_params(block=block, min_disp=min_disp, cap=cap)
+    ref = cv2_sgbm(left, right, p)
+    ours = np.asarray(sgbm_disparity(left, right, p))
+    roi = interior_mask(left.shape, p)
+    inv = p.min_disparity - 1
+    both = roi & (ref > inv + 0.25) & (ours > inv + 0.25)
+    agree1 = np.abs(ref[both] - ours[both]) <= 1.0
+    # Coverage floor is low for min_disp=16: the synthetic scene has few
+    # pixels in the shrunken valid band; agreement is the real oracle.
+    floor = 0.15 if min_disp > 0 else 0.35
+    assert both.mean() > floor, f"too few co-valid pixels ({both.mean():.3f})"
+    assert agree1.mean() > 0.85, f"1px agreement {agree1.mean():.3f}"
 
 
 def test_sgbm_accuracy_vs_ground_truth():
