@@ -45,14 +45,19 @@ const uint8_t* skip_ws(const uint8_t* p, const uint8_t* end) {
 
 const uint8_t* read_int(const uint8_t* p, const uint8_t* end, int* out) {
   p = skip_ws(p, end);
-  int v = 0;
+  long long v = 0;
   bool any = false;
   while (p < end && *p >= '0' && *p <= '9') {
     v = v * 10 + (*p - '0');
+    if (v > 100000000) {  // no sane PNM dimension/maxval; avoid overflow
+      *out = -1;
+      while (p < end && *p >= '0' && *p <= '9') ++p;
+      return p;
+    }
     ++p;
     any = true;
   }
-  *out = any ? v : -1;
+  *out = any ? static_cast<int>(v) : -1;
   return p;
 }
 
@@ -169,6 +174,7 @@ extern "C" {
 
 void* loader_create(const char** paths, int n, int ring_capacity) {
   std::vector<std::string> p(paths, paths + n);
+  if (ring_capacity < 1) ring_capacity = 1;  // ring(0) would modulo-by-zero
   return new Loader(std::move(p), static_cast<size_t>(ring_capacity));
 }
 

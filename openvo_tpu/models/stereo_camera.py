@@ -119,10 +119,23 @@ class StereoCamera:
     # -- per-frame ops ------------------------------------------------------
 
     def undistort_rectify_left(self, img):
-        return self._remap_left(jnp.asarray(img))
+        """Rectify one left frame. Like cv2.remap (reference
+        stereo_camera.py:29-30), uint8 input yields uint8 output; float
+        input stays float32."""
+        return self._remap_dtype(self._remap_left, img)
 
     def undistort_rectify_right(self, img):
-        return self._remap_right(jnp.asarray(img))
+        """Rectify one right frame (reference stereo_camera.py:32-33);
+        preserves uint8 input dtype like cv2.remap."""
+        return self._remap_dtype(self._remap_right, img)
+
+    @staticmethod
+    def _remap_dtype(remap, img):
+        img = jnp.asarray(img)
+        out = remap(img)
+        if img.dtype == jnp.uint8:
+            return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+        return out
 
     def crop_to_valid_region_left(self, img):
         x, y, w, h = self.valid_region_left

@@ -57,6 +57,7 @@ class FrameFeatures(NamedTuple):
     reference's current_img/current_disparity/current_3d/current_kps/
     current_desc attribute quintuple, stereo_odometer.py:17-25)."""
 
+    img: jnp.ndarray       # (Hc, Wc) cropped rectified gray frame
     xyz: jnp.ndarray       # (Hc, Wc, 3) reprojected 3D image
     disp: jnp.ndarray      # (Hc, Wc) disparity (float px)
     kp_xy: jnp.ndarray     # (K, 2) keypoint coords (x, y), level-0 frame
@@ -78,6 +79,7 @@ class OdomState(NamedTuple):
 def _empty_features(shape, K):
     Hc, Wc = shape
     return FrameFeatures(
+        img=jnp.zeros((Hc, Wc), jnp.float32),
         xyz=jnp.zeros((Hc, Wc, 3), jnp.float32),
         disp=jnp.zeros((Hc, Wc), jnp.float32),
         kp_xy=jnp.zeros((K, 2), jnp.float32),
@@ -164,6 +166,7 @@ def make_pipeline_fns(camera, cfg: OdometerConfig, color: bool):
         with jax.named_scope("orb"):
             feats = detect_and_compute(img, fmask, cfg.orb)
         return FrameFeatures(
+            img=img,
             xyz=xyz,
             disp=disp,
             kp_xy=feats["xy"],
@@ -322,20 +325,26 @@ class StereoOdometer:
                                  config.orb.max_keypoints)
         self.skipped_frames = 0
         self.skip_cause = ""
+        self._pct_fn = None  # lazily-jitted point_cloud_transform helper
 
     # Compiled steps are shared across instances with the same (camera,
     # config, color): re-instantiating an odometer (common in tests and
     # multi-sequence runs) must not retrace/recompile the big XLA program.
-    _STEP_CACHE = {}
-
+    # The cache lives ON the camera instance, so entries (and the compiled
+    # executables they pin) die with the camera — no unbounded class-level
+    # growth, no id()-reuse staleness.
     def _get_step(self, color: bool):
-        key = (id(self.stereo), self.config, color)
-        if key not in StereoOdometer._STEP_CACHE:
-            StereoOdometer._STEP_CACHE[key] = jax.jit(
+        cache = getattr(self.stereo, "_step_cache", None)
+        if cache is None:
+            cache = {}
+            self.stereo._step_cache = cache
+        key = (self.config, color)
+        if key not in cache:
+            cache[key] = jax.jit(
                 make_step(self.stereo, self.config, color),
                 donate_argnums=(0,),
             )
-        return StereoOdometer._STEP_CACHE[key]
+        return cache[key]
 
     @property
     def state(self) -> OdomState:
@@ -369,6 +378,18 @@ class StereoOdometer:
         mask = (d >= self.MIN_VALID_DISPARITY) & (d <= self.MAX_VALID_DISPARITY)
         return mask.astype(np.uint8) * 255
 
+    def valid_distance_change(self, prev_kp_idx, current_kp_idx):
+        """Distance-change plausibility test between a prev/current keypoint
+        pair (reference stereo_odometer.py:43-48 — dead code there, guarded
+        by ``if (False)`` at :165-166, but part of the public surface).
+        Keypoints are (x, y) rows of prev_kps/current_kps."""
+        p_x, p_y = self.prev_kps[prev_kp_idx]
+        c_x, c_y = self.current_kps[current_kp_idx]
+        d_prev = np.linalg.norm(self.prev_3d[int(p_y)][int(p_x)])
+        d_cur = np.linalg.norm(self.current_3d[int(c_y)][int(c_x)])
+        limit = self.MAX_DISTANCE_CHANGE * (self.skipped_frames + 1)
+        return bool(d_prev - d_cur <= limit)
+
     def bilinear_interpolate_pixels(self, img, x, y):
         """Inf-aware renormalizing bilinear sample of an (H, W, 3) 3D image
         at one subpixel position (reference stereo_odometer.py:50-79)."""
@@ -397,7 +418,10 @@ class StereoOdometer:
         stereo_odometer.py:177-223."""
         cur = np.asarray(current_pts, np.float32)
         nxt = np.asarray(next_pts, np.float32)
-        fn = make_point_cloud_transform(self.config)
+        if self._pct_fn is None:
+            # jitted once per odometer; retraces only on a new point count
+            self._pct_fn = jax.jit(make_point_cloud_transform(self.config))
+        fn = self._pct_fn
         T, ok, code = fn(
             jnp.asarray(cur), jnp.asarray(nxt),
             jnp.ones((len(cur),), bool),
@@ -419,12 +443,24 @@ class StereoOdometer:
     # frame-state arrays, exposed with validity applied -------------------
 
     @property
+    def current_img(self):
+        return np.asarray(self._state.cur.img)
+
+    @property
     def current_3d(self):
         return np.asarray(self._state.cur.xyz)
 
     @property
     def current_disparity(self):
         return np.asarray(self._state.cur.disp)
+
+    @property
+    def prev_img(self):
+        return np.asarray(self._state.prev.img)
+
+    @property
+    def prev_disparity(self):
+        return np.asarray(self._state.prev.disp)
 
     @property
     def current_kps(self):

@@ -251,6 +251,49 @@ def test_color_input_path(camera):
                                atol=1e-3)
 
 
+def test_reference_attribute_surface(camera):
+    """Full reference frame-state attribute surface (reference
+    stereo_odometer.py:17-25): current/prev img, disparity, 3d, kps, desc —
+    plus the dead-but-public valid_distance_change (:43-48)."""
+    seq3 = make_sequence(3)
+    odo = StereoOdometer(camera)
+    Hc, Wc = camera.cropped_shape
+    for i in range(2):
+        l = np.clip(seq3["left"][i], 0, 255).astype(np.uint8)
+        r = np.clip(seq3["right"][i], 0, 255).astype(np.uint8)
+        assert odo.update(l, r)
+    assert odo.current_img.shape == (Hc, Wc)
+    assert odo.prev_img.shape == (Hc, Wc)
+    assert odo.current_disparity.shape == (Hc, Wc)
+    assert odo.prev_disparity.shape == (Hc, Wc)
+    assert odo.current_3d.shape == (Hc, Wc, 3)
+    assert odo.prev_3d.shape == (Hc, Wc, 3)
+    # frames rolled: prev_img is frame 0's crop, current_img is frame 1's
+    assert not np.array_equal(odo.current_img, odo.prev_img)
+    assert odo.current_img.std() > 1.0  # real image content, not zeros
+    assert len(odo.current_kps) >= 10 and len(odo.prev_kps) >= 10
+    assert odo.current_desc.shape[1] == 32
+    # valid_distance_change: same scene depth -> small change -> True
+    assert odo.valid_distance_change(0, 0) in (True, False)
+    kp = odo.prev_kps[0]
+    assert 0 <= kp[0] < Wc and 0 <= kp[1] < Hc
+
+
+def test_undistort_rectify_uint8_dtype(camera):
+    """uint8 in -> uint8 out, float in -> float32 out, like cv2.remap
+    (reference stereo_camera.py:29-33)."""
+    w, h = IMG_SIZE
+    rng = np.random.default_rng(0)
+    img8 = rng.integers(0, 255, size=(h, w), dtype=np.uint8)
+    out8 = np.asarray(camera.undistort_rectify_left(img8))
+    assert out8.dtype == np.uint8
+    outf = np.asarray(camera.undistort_rectify_right(img8.astype(np.float32)))
+    assert outf.dtype == np.float32
+    # uint8 path is the rounded float path
+    ref = np.asarray(camera.undistort_rectify_left(img8.astype(np.float32)))
+    np.testing.assert_array_equal(out8, np.clip(np.round(ref), 0, 255))
+
+
 def test_reference_helper_methods(camera):
     """The reference's public helper methods exist and behave (feature_mask,
     bilinear_interpolate_pixels, rigid_body_filter, point_cloud_transform)."""
