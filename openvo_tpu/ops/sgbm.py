@@ -396,16 +396,27 @@ def sgbm_disparity16(left, right, params: SGBMParams):
     with jax.named_scope("sgbm_prefilter"):
         lp = prefilter_xsobel(left, cap)
         rp = prefilter_xsobel(right, cap)
+
+    on_tpu = jax.default_backend() == "tpu"
+    sent = int16_sentinel(params.block_size, cap)
+    if on_tpu and sent is not None:
+        # Fully fused TPU path: cost volume + box sum + first sweep in one
+        # Pallas kernel; no XLA (H, W, D) intermediates at all.
+        from openvo_tpu.ops.sgbm_pallas import sgbm_fused_tpu
+
+        with jax.named_scope("sgbm_fused"):
+            disp16, valid = sgbm_fused_tpu(lp, rp, params, sent)
+        return _finalize(disp16, valid, params)
+
     with jax.named_scope("sgbm_cost_volume"):
         C = bt_cost_volume(lp, rp, params.min_disparity,
                            params.num_disparities,
                            block_size=params.block_size, cap=cap)
         C = block_sum(C, params.block_size)
 
-    if jax.default_backend() == "tpu":
+    if on_tpu:
         from openvo_tpu.ops.sgbm_pallas import aggregate_wta
 
-        sent = int16_sentinel(params.block_size, cap)
         cost_max = None if sent is None else (
             params.block_size * params.block_size * sent)
         with jax.named_scope("sgbm_aggregate_wta"):
@@ -419,9 +430,13 @@ def sgbm_disparity16(left, right, params: SGBMParams):
         # Left band: the full search range has no right-image support.
         x = jnp.arange(left.shape[1])[None, :]
         valid &= (x - (best + params.min_disparity)) >= 0
+    return _finalize(disp16, valid, params)
+
+
+def _finalize(disp16, valid, params: SGBMParams):
+    """Speckle filter + invalid-value encoding (shared tail)."""
     if params.speckle_window_size > 0 and params.speckle_range > 0:
         valid = _speckle_filter(disp16, valid, params)
-
     invalid_val = (params.min_disparity - 1) * 16
     return jnp.where(valid, disp16, invalid_val).astype(jnp.int16)
 
