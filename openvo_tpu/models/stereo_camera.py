@@ -164,6 +164,14 @@ class StereoCamera:
                 img_right = remap_r(img_right)
             disparity = sgbm_disparity(img_left, img_right, sgbm_params)
             img_3d = reproject_image_to_3d(disparity, q)
+            # Invalid disparity (marker minDisparity-1) reprojects to a
+            # FINITE garbage depth (W != 0), which the inf-aware bilinear
+            # sampler (reference stereo_odometer.py:50-79) cannot exclude —
+            # a latent accuracy bug in the reference, where invalid
+            # neighbors poison matched 3D points near disparity holes.
+            # Enforce the sampler's contract: invalid disparity -> inf 3D.
+            valid = disparity >= (sgbm_params.min_disparity - 0.75)
+            img_3d = jnp.where(valid[..., None], img_3d, jnp.inf)
             return (img_3d[sl[0], sl[1], :], disparity[sl[0], sl[1]],
                     img_left[sl[0], sl[1]])
 

@@ -108,12 +108,14 @@ def fast_score(img_f32, threshold: float):
     dark = img_f32[None] - neigh    # margin if darker
 
     def arc_score(m):
-        # min over 9 contiguous circle pixels, for each of the 16 starts
-        mins = [
-            functools.reduce(jnp.minimum, [m[(s + k) % 16] for k in range(9)])
-            for s in range(16)
-        ]
-        return functools.reduce(jnp.maximum, mins)
+        # min over 9 contiguous circle pixels for each of the 16 starts,
+        # via log-folding over the circular axis (4 fold passes instead of
+        # 16x9 pairwise mins), then max over starts.
+        m2 = jnp.minimum(m, jnp.roll(m, -1, axis=0))
+        m4 = jnp.minimum(m2, jnp.roll(m2, -2, axis=0))
+        m8 = jnp.minimum(m4, jnp.roll(m4, -4, axis=0))
+        m9 = jnp.minimum(m8, jnp.roll(m, -8, axis=0))
+        return jnp.max(m9, axis=0)
 
     score = jnp.maximum(arc_score(bright), arc_score(dark))
     return score, score > threshold
@@ -170,50 +172,63 @@ def _detect_level(img_l, mask_l, k_level, params: ORBParams):
     return xy, top_vals, valid
 
 
+def _patch_windows(img, xy, r):
+    """Extract (2r+1, 2r+1) windows centered at each keypoint (K windows).
+    Keypoints are guaranteed >= edge_threshold(31) > r from the borders."""
+    size = 2 * r + 1
+
+    def one(pt):
+        return jax.lax.dynamic_slice(img, (pt[1] - r, pt[0] - r),
+                                     (size, size))
+
+    return jax.vmap(one)(xy)  # (K, size, size)
+
+
 def _orientations(img_l, xy, valid):
     """Intensity-centroid angle (radians) at each keypoint."""
     uw, vw, _ = centroid_weights()
     uw = jnp.asarray(uw)
     vw = jnp.asarray(vw)
-    r = HALF_PATCH
-
-    def one(pt):
-        win = jax.lax.dynamic_slice(
-            img_l, (pt[1] - r, pt[0] - r), (2 * r + 1, 2 * r + 1)
-        )
-        m10 = jnp.sum(win * uw)
-        m01 = jnp.sum(win * vw)
-        return jnp.arctan2(m01, m10)
-
-    ang = jax.vmap(one)(xy)
+    wins = _patch_windows(img_l, xy, HALF_PATCH)  # (K, 31, 31)
+    m10 = jnp.einsum("kij,ij->k", wins, uw)
+    m01 = jnp.einsum("kij,ij->k", wins, vw)
+    ang = jnp.arctan2(m01, m10)
     return jnp.where(valid, ang, 0.0)
 
 
+# BRIEF sample radius after rotation: pattern points are in a +/-13 box, so
+# a rotated sample reaches at most 13*sqrt(2) < 19 pixels from the center.
+BRIEF_WIN = 19
+
+
 def _descriptors(img_blur, xy, angles, valid):
-    """Steered BRIEF-256 bits at each keypoint -> packed (K, 32) uint8."""
+    """Steered BRIEF-256 bits at each keypoint -> packed (K, 32) uint8.
+
+    Samples come from a per-keypoint 39x39 window (one contiguous
+    dynamic-slice per keypoint), then a LOCAL batched gather — replacing
+    the 512 scattered whole-image gathers per keypoint of the naive form
+    (gathers over tiny per-row windows vectorize; global ones do not).
+    """
     pat = jnp.asarray(brief_pattern())  # (256, 4)
     px, py, qx, qy = (pat[:, 0].astype(jnp.float32), pat[:, 1].astype(jnp.float32),
                       pat[:, 2].astype(jnp.float32), pat[:, 3].astype(jnp.float32))
-    H, W = img_blur.shape
-    flat = img_blur.reshape(-1)
+    rw = BRIEF_WIN
+    size = 2 * rw + 1
+    wins = _patch_windows(img_blur, xy, rw).reshape(-1, size * size)
 
-    def one(pt, ang):
-        ca, sa = jnp.cos(ang), jnp.sin(ang)
+    ca = jnp.cos(angles)[:, None]
+    sa = jnp.sin(angles)[:, None]
 
-        def rot_sample(x, y):
-            # OpenCV's GET_VALUE rounding: col = round(x*cos - y*sin),
-            # row = round(x*sin + y*cos), relative to the keypoint center.
-            col = pt[0] + jnp.round(x * ca - y * sa).astype(jnp.int32)
-            row = pt[1] + jnp.round(x * sa + y * ca).astype(jnp.int32)
-            col = jnp.clip(col, 0, W - 1)
-            row = jnp.clip(row, 0, H - 1)
-            return jnp.take(flat, row * W + col)
+    def local_idx(x, y):
+        # OpenCV's GET_VALUE rounding: col = round(x*cos - y*sin),
+        # row = round(x*sin + y*cos), relative to the window center.
+        col = rw + jnp.round(x[None, :] * ca - y[None, :] * sa).astype(jnp.int32)
+        row = rw + jnp.round(x[None, :] * sa + y[None, :] * ca).astype(jnp.int32)
+        return row * size + col  # (K, 256), always in range
 
-        tp = rot_sample(px, py)
-        tq = rot_sample(qx, qy)
-        return (tp < tq).astype(jnp.uint8)
-
-    bits = jax.vmap(one)(xy, angles)  # (K, 256)
+    tp = jnp.take_along_axis(wins, local_idx(px, py), axis=1)
+    tq = jnp.take_along_axis(wins, local_idx(qx, qy), axis=1)
+    bits = (tp < tq).astype(jnp.uint8)
     bits = jnp.where(valid[:, None], bits, 0)
     return pack_bits(bits)
 
