@@ -13,14 +13,15 @@ whole image so they map onto the VPU/MXU with static shapes:
  - per-level top-K selection with OpenCV's per-level feature budget split
    (geometric decay by 1/scale_factor),
  - intensity-centroid orientation over the radius-15 circular patch,
- - steered BRIEF-256: a fixed Gaussian test pattern (sigma = patch/5, clipped
-   to +/-13) rotated by the keypoint angle, sampled from a 7x7 sigma=2
-   Gaussian-blurred level image with nearest-neighbor rounding.
+ - steered BRIEF-256 using OpenCV's exact rBRIEF test pattern (recovered
+   empirically from cv2.ORB.compute and held-out-verified; see
+   ops/orb_pattern.py), rotated by the keypoint angle with cv2's GET_VALUE
+   rounding and sampled from the uint8-rounded 7x7 sigma=2 Gaussian blur —
+   descriptors are bit-comparable with cv2-produced ones (matched
+   cross-implementation in tests/test_orb.py), modulo rare near-tie
+   rounding flips.
 
 Differences from OpenCV, by design (documented for the parity tests):
- - the BRIEF pattern is our own deterministic Gaussian pattern, not OpenCV's
-   learned table, so descriptors are not bit-compatible with cv2 — matching
-   quality is validated behaviorally instead (see tests/test_orb.py);
  - the detection mask gates candidates *before* per-level top-K (OpenCV
    filters after), which only ever yields more usable masked features.
 
@@ -53,28 +54,48 @@ FAST_CIRCLE = np.array(
 )
 
 
-@functools.lru_cache(maxsize=None)
-def brief_pattern(n_bits: int = 256, patch_size: int = 31, seed: int = 42):
-    """Deterministic BRIEF test pattern: n_bits (p, q) point pairs.
+def brief_pattern():
+    """OpenCV's ORB rBRIEF 256-pair test pattern (empirically recovered and
+    held-out-verified against cv2.ORB.compute; see ops/orb_pattern.py and
+    tools/extract_orb_pattern.py). Using the exact cv2 pattern makes our
+    descriptors bit-comparable with OpenCV-produced ones (mixed pipelines,
+    stored descriptors), modulo rare near-tie rounding flips.
+    Returns int32 array (256, 4): (px, py, qx, qy)."""
+    from openvo_tpu.ops.orb_pattern import CV2_ORB_PATTERN
 
-    Points ~ N(0, (patch/5)^2) clipped to +/-(patch//2 - 2) = +/-13 so that a
-    rotated sample stays within the half-patch circle that the edge-threshold
-    border guarantees to be inside the image.
-    Returns int32 array (n_bits, 4): (px, py, qx, qy).
-    """
-    rng = np.random.default_rng(seed)
-    sigma = patch_size / 5.0
-    lim = patch_size // 2 - 2
-    pts = np.clip(np.round(rng.normal(0.0, sigma, size=(n_bits, 4))), -lim, lim)
-    return pts.astype(np.int32)
+    return CV2_ORB_PATTERN
+
+
+@functools.lru_cache(maxsize=None)
+def _cv2_umax(radius: int = HALF_PATCH):
+    """OpenCV ORB's discretized circle bounds: umax[v] = half-width of the
+    intensity-centroid patch at |row| v (cvRound circle with an explicit
+    symmetry fix-up — the published ORB initializer's semantics)."""
+    r = radius
+    vmax = int(np.floor(r * np.sqrt(2.0) / 2 + 1))
+    vmin = int(np.ceil(r * np.sqrt(2.0) / 2))
+    umax = np.zeros(r + 2, np.int64)
+    for v in range(vmax + 1):
+        # cvRound = round-half-to-even
+        umax[v] = int(np.rint(np.sqrt(float(r * r - v * v))))
+    v0 = 0
+    for v in range(r, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    return umax
 
 
 @functools.lru_cache(maxsize=None)
 def centroid_weights(radius: int = HALF_PATCH):
-    """(u, v) coordinate weight grids over the circular patch (numpy)."""
+    """(u, v) coordinate weight grids over cv2 ORB's discretized circular
+    patch (numpy) — matching IC_Angle's integration domain exactly so our
+    orientations track cv2's."""
     r = radius
+    umax = _cv2_umax(r)
     v, u = np.mgrid[-r : r + 1, -r : r + 1]
-    circ = (u * u + v * v) <= r * r
+    circ = np.abs(u) <= umax[np.abs(v)]
     return (u * circ).astype(np.float32), (v * circ).astype(np.float32), circ
 
 
@@ -272,7 +293,9 @@ def detect_and_compute(img, mask, params: ORBParams):
 
         xy, resp, valid = _detect_level(img_l, mask_l, k_level, params)
         ang = _orientations(img_l, xy, valid)
-        img_b = gaussian_blur(img_l, 7, 2.0)
+        # Round like cv2's uint8 working image: ORB compares uint8-rounded
+        # blur values, so rounding keeps descriptors bit-comparable.
+        img_b = jnp.round(gaussian_blur(img_l, 7, 2.0))
         desc = _descriptors(img_b, xy, ang, valid)
 
         all_xy.append(xy.astype(jnp.float32) * scale)

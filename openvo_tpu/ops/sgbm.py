@@ -183,11 +183,18 @@ def _shift_x(row, k):
     return out.at[k:].set(BIG)
 
 
-def _scan_dirs(cost, xshifts, p1: float, p2: float, reverse: bool):
+def _scan_dirs(cost, xshifts, p1: float, p2: float, reverse: bool,
+               init=None, return_carry: bool = False):
     """Aggregate along axis 0 of (N0, N1, D) ``cost`` for several directions
     at once (one lax.scan; directions differ only in their axis-1 shift).
     Returns the SUM of the directions' path costs — individual L volumes are
-    never materialized."""
+    never materialized.
+
+    ``init`` optionally seeds the per-direction L carry (used by the
+    multi-device row-tiled pipeline, parallel/tiling.py, to continue a
+    sweep across tile boundaries exactly); ``return_carry`` also returns
+    the final carry tuple for handing to the next tile.
+    """
 
     def step(prevs, c_row):
         new = []
@@ -206,10 +213,13 @@ def _scan_dirs(cost, xshifts, p1: float, p2: float, reverse: bool):
 
     if cost.dtype == jnp.int16:
         cost = cost.astype(jnp.float32) * 0.5
-    init = tuple(
-        jnp.full(cost.shape[1:], BIG, jnp.float32) for _ in xshifts
-    )
-    _, S = jax.lax.scan(step, init, cost, reverse=reverse)
+    if init is None:
+        init = tuple(
+            jnp.full(cost.shape[1:], BIG, jnp.float32) for _ in xshifts
+        )
+    carry, S = jax.lax.scan(step, init, cost, reverse=reverse)
+    if return_carry:
+        return S, carry
     return S
 
 

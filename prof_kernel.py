@@ -114,5 +114,65 @@ def main():
         timeit(f"k4 3dir-loop {tag}", run("k4", g, ndir=3, adt=adt), C)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--rolls" not in sys.argv:
     main()
+
+
+def roll_axis_costs():
+    """Which roll axes are slow? 7 log-shift rolls along various axes of a
+    KITTI-sized block, one pallas kernel each."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W, D = 376, 1242, 128
+    C = jnp.zeros((H, W, D), jnp.float32) + 1.0
+
+    def kern(c_ref, out_ref, *, mode, g):
+        x = c_ref[...]
+        if mode == "sub3":       # roll along axis 1 (sublane dim of 3D)
+            for k in (1, 2, 4, 8, 16, 32, 64):
+                x = x + jnp.roll(x, -k, axis=1)
+        elif mode == "lane3":    # roll along axis 2 (lane dim)
+            for k in (1, 2, 4, 8, 16, 32, 64):
+                x = x + jnp.roll(x, -k, axis=2)
+        elif mode == "sub2":     # per-row 2D rolls along sublane axis
+            for r in range(g):
+                y = x[r]
+                for k in (1, 2, 4, 8, 16, 32, 64):
+                    y = y + jnp.roll(y, -k, axis=0)
+                x = x.at[r].set(y)
+        elif mode == "transp":   # transpose then lane rolls then back
+            t = jnp.swapaxes(x, 1, 2)  # (g, D, W)
+            for k in (1, 2, 4, 8, 16, 32, 64):
+                t = t + jnp.roll(t, -k, axis=2)
+            x = jnp.swapaxes(t, 1, 2)
+        out_ref[...] = x
+
+    def run(mode, g=8):
+        fn = pl.pallas_call(
+            functools.partial(kern, mode=mode, g=g),
+            grid=(H // g,),
+            in_specs=[pl.BlockSpec((g, W, D), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((g, W, D), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, W, D), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+        return jax.jit(lambda x: fn(x).sum())
+
+    timeit("noop baseline", jax.jit(lambda x: x.sum()),
+           jnp.zeros((8, 128), jnp.float32))
+    for mode in ("lane3", "sub3", "sub2", "transp"):
+        try:
+            timeit(f"7 rolls {mode}", run(mode), C)
+        except Exception as e:
+            log(f"{mode}: FAILED {type(e).__name__}: {str(e)[:200]}")
+
+
+if __name__ == "__main__" and "--rolls" in __import__("sys").argv:
+    roll_axis_costs()

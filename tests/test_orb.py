@@ -1,13 +1,12 @@
-"""ORB detector/descriptor: behavioral validation.
+"""ORB detector/descriptor: behavioral validation + cv2 bit-compatibility.
 
-Per the design note in ops/orb.py, descriptors use our own deterministic
-pattern (not OpenCV's learned table), so tests are behavioral (SURVEY.md
-section 4 "set-level corner agreement + descriptor compatibility"):
- - corner sets overlap substantially with cv2.ORB keypoints;
- - descriptors match across a rotated/shifted view of the same scene with a
-   high inlier ratio (rotation invariance via the orientation mechanism);
- - the detection mask is honored;
- - fixed-capacity padding contract holds.
+Descriptors use OpenCV's exact rBRIEF pattern (recovered empirically; see
+ops/orb_pattern.py), so on top of the behavioral checks (SURVEY.md section
+4) we assert cross-implementation compatibility:
+ - cv2.ORB.compute on OUR keypoints/angles reproduces our descriptors to
+   within a few near-tie bits;
+ - our descriptors ratio-match cv2's own detectAndCompute output on the
+   same image, with matches landing on spatially co-located keypoints.
 """
 
 import cv2
@@ -69,6 +68,61 @@ def test_descriptor_matching_under_rotation():
     err = np.linalg.norm(pred - xb, axis=1)
     inlier_ratio = (err < 3.0).mean()
     assert inlier_ratio > 0.6, f"rotation inlier ratio {inlier_ratio:.2f}"
+
+
+def test_descriptor_bit_compat_with_cv2():
+    """cv2.ORB.compute on OUR level-0 keypoints (same coords + angles) must
+    produce near-identical bits — the pattern, rotation rounding and blur
+    all match cv2."""
+    img = scene(4)
+    img_u8 = np.clip(img, 0, 255).astype(np.uint8)
+    p = ORBParams(nfeatures=300, max_keypoints=512)
+    out = detect_and_compute(img_u8.astype(np.float32), None, p)
+    v = np.asarray(out["valid"]) & (np.asarray(out["octave"]) == 0)
+    xy = np.asarray(out["xy"])[v]
+    ang = np.degrees(np.asarray(out["angle"])[v]) % 360.0
+    ours = np.asarray(out["desc"])[v]
+    assert len(xy) >= 50
+
+    kps = []
+    for (x, y), a in zip(xy, ang):
+        kp = cv2.KeyPoint(float(x), float(y), 31.0)
+        kp.angle = float(a)
+        kp.octave = 0
+        kps.append(kp)
+    orb = cv2.ORB_create(nfeatures=500)
+    kept, ref = orb.compute(img_u8, kps)
+    assert len(kept) == len(kps), "cv2 dropped keypoints"
+    ham = np.unpackbits(ours ^ ref, axis=1).sum(axis=1)
+    assert np.median(ham) <= 4, f"median Hamming {np.median(ham)}"
+    assert (ham <= 12).mean() > 0.9, f"{(ham <= 12).mean():.2f} within 12 bits"
+
+
+def test_cross_matching_with_cv2_descriptors():
+    """Our descriptors vs cv2's own detectAndCompute on the same image:
+    ratio-test matches must land on co-located keypoints (the mixed-pipeline
+    interop capability of the reference, stereo_odometer.py:22,117)."""
+    img = scene(5)
+    img_u8 = np.clip(img, 0, 255).astype(np.uint8)
+    orb = cv2.ORB_create(nfeatures=300)
+    ref_kps, ref_desc = orb.detectAndCompute(img_u8, None)
+
+    p = ORBParams(nfeatures=300, max_keypoints=512)
+    out = detect_and_compute(img_u8.astype(np.float32), None, p)
+    v = np.asarray(out["valid"])
+    our_xy = np.asarray(out["xy"])[v]
+    our_desc = np.asarray(out["desc"])[v]
+
+    matcher = cv2.BFMatcher.create(cv2.NORM_HAMMING)
+    matches = matcher.knnMatch(our_desc, ref_desc, k=2)
+    good = [m for m, n in matches if m.distance < 0.8 * n.distance]
+    assert len(good) >= 60, f"only {len(good)} ratio-test matches"
+    ref_xy = np.array([k.pt for k in ref_kps])
+    d = np.linalg.norm(
+        our_xy[[m.queryIdx for m in good]]
+        - ref_xy[[m.trainIdx for m in good]], axis=1)
+    colocated = (d <= 3.0).mean()
+    assert colocated > 0.6, f"co-located match fraction {colocated:.2f}"
 
 
 def test_mask_is_honored():
