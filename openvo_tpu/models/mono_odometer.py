@@ -10,6 +10,14 @@ program, like the stereo odometer.
 Monocular scale is unobservable: per-frame translation is unit-norm, scaled
 by ``trans_scale`` (callers with external scale — speedometer, IMU — pass it
 per update).
+
+Degenerate geometry note: the hypothesis sampler is the 8-point algorithm,
+which (like any essential-matrix estimator, including cv2's Nister 5-point)
+loses uniqueness when the scene is a single plane — E is then only
+determined up to a family, and recoverPose's cheirality vote may pick a
+spurious decomposition. The failure mode is graceful (finite pose, ok=False
+with ``skip_cause`` in {"inliers", "support"} or an accepted near-correct
+pose), covered by tests/test_mono.py::test_planar_scene_degenerate_graceful.
 """
 
 from __future__ import annotations
@@ -88,12 +96,18 @@ def make_step(K, cfg: OdometerConfig, ransac_iters: int = 256,
         R, t, support = recover_pose(E, x1, x2, inl)
         n_support = jnp.sum(support.astype(jnp.int32))
 
-        ok = (
-            ~first
-            & (n_matches >= cfg.min_matches)
-            & (n_inl >= min_inliers)
-            & (n_support >= min_inliers // 2)
-        )
+        few_kps = n_kps < cfg.min_matches
+        few_matches = n_matches < cfg.min_matches
+        few_inl = n_inl < min_inliers
+        few_sup = n_support < min_inliers // 2
+        ok = ~first & ~few_matches & ~few_inl & ~few_sup
+        # Failure-cause surface (mirrors StereoOdometer.skip_cause).
+        code = jnp.asarray(0, jnp.int32)
+        code = jnp.where(few_sup, 4, code)
+        code = jnp.where(few_inl, 3, code)
+        code = jnp.where(few_matches, 2, code)
+        code = jnp.where(few_kps, 1, code)
+        code = jnp.where(first | ok, 0, code)
         # T maps prev-camera coords to new-camera coords (same convention as
         # the stereo odometer's per-frame transform).
         T = rt_to_T(R.astype(jnp.float32),
@@ -111,10 +125,15 @@ def make_step(K, cfg: OdometerConfig, ransac_iters: int = 256,
             key=key,
         )
         stats = {"n_kps": n_kps, "n_matches": n_matches,
-                 "n_inliers": n_inl, "n_support": n_support}
+                 "n_inliers": n_inl, "n_support": n_support,
+                 "skip_code": code}
         return new_state, accept, stats
 
     return step
+
+
+MONO_SKIP_STRINGS = {0: "", 1: "keypoints", 2: "matches", 3: "inliers",
+                     4: "support"}
 
 
 class MonoOdometer:
@@ -135,6 +154,7 @@ class MonoOdometer:
             donate_argnums=(0,),
         )
         self.skipped_frames = 0
+        self.skip_cause = ""
 
     def update(self, img, trans_scale: float = 1.0) -> bool:
         self._state, ok, stats = self._step(
@@ -143,6 +163,7 @@ class MonoOdometer:
         )
         self.skipped_frames = int(self._state.skipped)
         self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
+        self.skip_cause = MONO_SKIP_STRINGS[int(stats["skip_code"])]
         return bool(ok)
 
     def current_pose(self):

@@ -99,6 +99,55 @@ def test_ransac_rigid_rejects_outliers():
     np.testing.assert_allclose(np.asarray(T)[:3, :3], R, atol=1e-3)
 
 
+def test_planar_scene_degenerate_graceful():
+    """All-planar scene: essential-matrix estimation is inherently
+    degenerate (E only determined up to a family; see the mono_odometer
+    docstring). The pipeline must stay graceful: finite outputs, and
+    either a near-correct accepted pose or a rejection."""
+    rng = np.random.default_rng(7)
+    # points on the z = 6 plane
+    pts = np.c_[rng.uniform(-3, 3, size=(200, 2)), np.full(200, 6.0)]
+    R_true = np.eye(3)
+    t_true = np.array([0.4, 0.0, 0.1])
+    p2 = pts @ R_true.T + t_true
+    x1 = (pts[:, :2] / pts[:, 2:3]).astype(np.float32)
+    x2 = (p2[:, :2] / p2[:, 2:3]).astype(np.float32)
+    mask = np.ones(len(x1), bool)
+    E, inl, n_inl = ransac_essential(jnp.asarray(x1), jnp.asarray(x2),
+                                     jnp.asarray(mask), jax.random.PRNGKey(0),
+                                     iters=256, inlier_threshold=1e-6)
+    R, t, support = recover_pose(E, jnp.asarray(x1), jnp.asarray(x2), inl)
+    R, t = np.asarray(R), np.asarray(t)
+    # Graceful-degeneracy contract (see mono_odometer docstring): the
+    # estimate may be a spurious member of the planar E family, but the
+    # output must be a finite, valid rigid motion — never NaN/garbage.
+    assert np.isfinite(R).all() and np.isfinite(t).all()
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+    assert np.linalg.det(R) > 0.99
+    np.testing.assert_allclose(np.linalg.norm(t), 1.0, atol=1e-4)
+    # Report (not assert) whether this seed recovered the true motion.
+    t_dir = t_true / np.linalg.norm(t_true)
+    recovered = (np.allclose(R, np.eye(3), atol=0.05)
+                 and min(np.linalg.norm(t - t_dir),
+                         np.linalg.norm(t + t_dir)) < 0.2)
+    print(f"planar case: recovered={recovered} "
+          f"support={int(support.sum())}/{len(x1)}")
+
+
+def test_mono_skip_cause_surface():
+    """MonoOdometer reports failure causes like the stereo odometer."""
+    seq = render_stereo_sequence(n_frames=2, img_size=(320, 240), f=280.0,
+                                 baseline=0.5, seed=3, step=0.3)
+    odo = MonoOdometer(seq["K"], nfeatures=300)
+    img0 = np.clip(seq["left"][0], 0, 255).astype(np.uint8)
+    assert odo.update(img0)          # first frame accepted
+    assert odo.skip_cause == ""
+    blank = np.full_like(img0, 127)
+    assert odo.update(blank) is False
+    assert odo.skip_cause in ("keypoints", "matches", "inliers", "support")
+    assert odo.skipped_frames == 1
+
+
 def test_mono_odometer_tracks_forward_motion():
     seq = render_stereo_sequence(n_frames=6, img_size=(320, 240), f=280.0,
                                  baseline=0.5, seed=0, step=0.3,

@@ -116,6 +116,24 @@ def test_sgbm_invalid_encoding_and_scale():
     np.testing.assert_allclose(dflt, d16.astype(np.float32) / 16.0)
 
 
+def test_speckle_filter_matches_cv2_oracle():
+    """Our pointer-jump connected-component speckle filter vs the
+    cv2.filterSpeckles oracle (ADVICE round 1: it was previously validated
+    only by self-consistency). Both are applied to OUR raw disparity, so
+    this isolates the filter itself."""
+    left, right, _ = synthetic_pair(5)
+    p_off = make_params()
+    p_on = make_params(speckle=True)   # window 100, range 2
+    d_off = np.asarray(sgbm_disparity16(left, right, p_off))
+    d_on = np.asarray(sgbm_disparity16(left, right, p_on))
+    ref = d_off.copy()
+    cv2.filterSpeckles(ref, -16, 100, 2 * 16)
+    agree = (ref == d_on).mean()
+    assert agree > 0.995, f"speckle oracle agreement {agree:.4f}"
+    # The filter should actually have removed something on this scene.
+    assert (d_on == -16).sum() > (d_off == -16).sum()
+
+
 def test_sgbm_speckle_filter_removes_islands():
     left, right, _ = synthetic_pair(4)
     p_no = make_params()
