@@ -105,14 +105,18 @@ def bt_cost_volume(left_p, right_p, min_disp: int, num_disp: int,
         hi = jnp.maximum(jnp.maximum(am, ap), a)
         return lo, hi
 
-    # Prefiltered values are integers in [0, 2*cap] <= 126 and the BT
-    # envelopes are half-integers < 128 — all EXACT in bfloat16, so the
-    # heavy broadcast/shear/envelope stage runs in bf16 (half the HBM
-    # traffic); the final cost is promoted back to f32.
-    l_lo, l_hi = envelopes(left_p.astype(jnp.bfloat16))
+    # Prefiltered values are integers in [0, 2*cap] and the BT envelopes
+    # are half-integers: bfloat16 (8 significand bits) represents the 0.5
+    # grid exactly only up to 128, so the heavy broadcast/shear/envelope
+    # stage runs in bf16 (half the HBM traffic) for the default cap=63
+    # (values <= 126) and falls back to f32 for larger preFilterCap —
+    # keeping the documented exact-grid contract at e.g. cap=301
+    # (ADVICE r2). The final cost is promoted back to f32 either way.
+    work_dtype = jnp.bfloat16 if 2 * cap <= 127 else jnp.float32
+    l_lo, l_hi = envelopes(left_p.astype(work_dtype))
 
     # lane d of r_sh holds right(x - (min_disp + d)).
-    rb = jnp.broadcast_to(right_p.astype(jnp.bfloat16)[..., None], (H, W, D))
+    rb = jnp.broadcast_to(right_p.astype(work_dtype)[..., None], (H, W, D))
     r_sh = _shear_x(rb, +1, jnp.nan)
     if min_disp != 0:
         r_sh = jnp.roll(r_sh, min_disp, axis=1)
@@ -122,13 +126,14 @@ def bt_cost_volume(left_p, right_p, min_disp: int, num_disp: int,
         # min_disp > 0 the wrapped columns are x < min_disp; for
         # min_disp < 0 they are x >= W + min_disp.
         xs = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+        nan = jnp.asarray(jnp.nan, work_dtype)
         if min_disp > 0:
-            r_sh = jnp.where(xs < min_disp, jnp.bfloat16(jnp.nan), r_sh)
+            r_sh = jnp.where(xs < min_disp, nan, r_sh)
         else:
-            r_sh = jnp.where(xs >= W + min_disp, jnp.bfloat16(jnp.nan), r_sh)
+            r_sh = jnp.where(xs >= W + min_disp, nan, r_sh)
     r_lo, r_hi = envelopes(r_sh, axis=1)
 
-    lp = left_p.astype(jnp.bfloat16)[..., None]
+    lp = left_p.astype(work_dtype)[..., None]
     c_l = jnp.maximum(0, jnp.maximum(lp - r_hi, r_lo - lp))
     c_r = jnp.maximum(
         0, jnp.maximum(r_sh - l_hi[..., None], l_lo[..., None] - r_sh)

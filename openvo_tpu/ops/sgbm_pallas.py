@@ -27,11 +27,14 @@ through this file):
    partial sum is stored int16 whenever the static bound
    n_dirs * (cost_max + 2*P2) <= 32767 allows (true for the default 5-path
    config), else int32.
- - **WTA fused into the final sweep.** The last sweep is always a vertical
-   one; when it reaches row r, the total S row is complete in registers, so
-   WTA + uniqueness + subpixel + left-right check run in-kernel and only the
-   (H, W) disparity/valid maps are written. The full f32 S volume
-   (239 MB at KITTI res) never exists.
+ - **WTA fused into the final sweep.** The last sweep is the right-to-left
+   HORIZONTAL direction; when it reaches column x, the total S column is
+   complete in registers, so WTA + uniqueness + subpixel run in-kernel and
+   only (H, W) disparity/valid maps are written — the full f32 S volume
+   (239 MB at KITTI res) never exists. The left-right check's right-view
+   WTA falls out of the same scan via a D-slot ring buffer (one static
+   lane-roll + min per column), replacing the round-2 anti-diagonal shear
+   that was ~1/3 of the SGBM budget.
 
 This replaces the hot loop of OpenCV's SGBM C++ aggregation (reference
 stereo_camera.py:51 via cv2.StereoSGBM.compute; SURVEY.md N4 north-star).
@@ -180,14 +183,22 @@ _CG = 128  # columns per fused-kernel block: keeps every window slice static
 
 
 def _cost_sweep_kernel(*refs, nch_r, dd, w, min_disp, radius, sentinel,
-                       p1, p2):
+                       p1, p2, band_halo):
     """refs = [3 left chunks] x3 images, [nch_r right chunks] x3 images,
-    c_out, s_out, carry. All window slices are STATIC: the reversed right
-    image is chunk-aligned so column x's shear window is a fixed offset
-    into the concatenated chunks (see cost_sweep_fused)."""
+    [edge flags if band_halo], c_out, s_out, carry. All window slices are
+    STATIC: the reversed right image is chunk-aligned so column x's shear
+    window is a fixed offset into the concatenated chunks (see
+    cost_sweep_fused).
+
+    ``band_halo`` > 0 marks row-tiled operation: the first/last band_halo
+    rows are real halo rows from vertical neighbors; on the devices whose
+    SMEM edge flag is set (global top/bottom of the image) the halo rows'
+    COST is replaced by the adjacent core row's cost, reproducing the
+    single-device edge-replicated box sum exactly (parallel/tiling.py)."""
     it = iter(refs)
     l_chunks = [[next(it) for _ in range(3)] for _ in range(3)]
     r_chunks = [[next(it) for _ in range(nch_r)] for _ in range(3)]
+    flags_ref = next(it) if band_halo else None
     c_out_ref, s_out_ref, carry_ref = next(it), next(it), next(it)
     i = pl.program_id(0)
 
@@ -225,7 +236,16 @@ def _cost_sweep_kernel(*refs, nch_r, dd, w, min_disp, radius, sentinel,
         # fully sentinel.
         xr = x - min_disp - lane
         invalid = (xr < 1) | (xr > w - 1) | (x < 0) | (x > w - 1)
-        return jnp.where(invalid, float(sentinel), cost)
+        cost = jnp.where(invalid, float(sentinel), cost)
+        if band_halo:
+            is_top = flags_ref[0] > 0
+            is_bot = flags_ref[1] > 0
+            top_fix = cost[band_halo:band_halo + 1]
+            bot_fix = cost[h - band_halo - 1:h - band_halo]
+            cost = jnp.where((row < band_halo) & is_top, top_fix, cost)
+            cost = jnp.where((row >= h - band_halo) & is_bot, bot_fix,
+                             cost)
+        return cost
 
     def vbox(slab):
         """Vertical (2*radius+1) box sum with edge-replicated borders."""
@@ -261,7 +281,8 @@ def _cost_sweep_kernel(*refs, nch_r, dd, w, min_disp, radius, sentinel,
 
 
 def cost_sweep_fused(lp, llo, lhi, rp, rlo, rhi, params, sentinel: int,
-                     p1: float, p2: float, s1_dtype=jnp.int16):
+                     p1: float, p2: float, s1_dtype=jnp.int16,
+                     band_halo: int = 0, edge_flags=None):
     """Fused cost volume + box sum + forward horizontal sweep.
 
     Inputs are x2-scaled 2D prefiltered images and their BT envelopes
@@ -322,16 +343,21 @@ def cost_sweep_fused(lp, llo, lhi, rp, rlo, rhi, params, sentinel: int,
     kernel = functools.partial(
         _cost_sweep_kernel, nch_r=nch, dd=dd, w=w, min_disp=md,
         radius=radius, sentinel=int(sentinel), p1=float(p1), p2=float(p2),
+        band_halo=int(band_halo),
     )
     args = []
     for img in lpad:
         args.extend([img] * 3)
     for img in rrev:
         args.extend([img] * nch)
+    flag_specs = []
+    if band_halo:
+        flag_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args.append(jnp.asarray(edge_flags, jnp.int32))
     C, s1 = pl.pallas_call(
         kernel,
         grid=(nblocks,),
-        in_specs=l_specs + r_specs,
+        in_specs=l_specs + r_specs + flag_specs,
         out_specs=(out_spec, out_spec),
         out_shape=(
             jax.ShapeDtypeStruct((h, wp, dd), jnp.int16),
@@ -377,17 +403,25 @@ def _row_step(carry_ref, c, xshifts, x_idx, d_idx, n1, d, p1, p2, big):
     return jnp.sum(L, axis=0)
 
 
-def _sweep_v_kernel(*refs, xshifts, p1, p2, g, reverse, int_mode, has_acc):
-    if has_acc:
-        c_ref, acc_ref, out_ref, carry_ref = refs
-    else:
-        c_ref, out_ref, carry_ref = refs
+def _sweep_v_kernel(*refs, xshifts, p1, p2, g, reverse, int_mode, has_acc,
+                    acc_bias, out_bias, has_init, ret_carry, nblocks):
+    refs = list(refs)
+    c_ref = refs.pop(0)
+    acc_ref = refs.pop(0) if has_acc else None
+    init_ref = refs.pop(0) if has_init else None
+    out_ref = refs.pop(0)
+    cout_ref = refs.pop(0) if ret_carry else None
+    carry_ref = refs.pop(0)
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
-        carry_ref[...] = jnp.full(carry_ref.shape, _big(carry_ref.dtype),
-                                  carry_ref.dtype)
+        if has_init:
+            carry_ref[...] = init_ref[...]
+        else:
+            carry_ref[...] = jnp.full(carry_ref.shape,
+                                      _big(carry_ref.dtype),
+                                      carry_ref.dtype)
 
     n1, d = c_ref.shape[1], c_ref.shape[2]
     x_idx = jax.lax.broadcasted_iota(jnp.int32, (n1, 1), 0)
@@ -399,19 +433,37 @@ def _sweep_v_kernel(*refs, xshifts, p1, p2, g, reverse, int_mode, has_acc):
         total = _row_step(carry_ref, c, xshifts, x_idx, d_idx, n1, d,
                           p1, p2, big)
         if has_acc:
-            total = total + _to_acc(acc_ref[r], int_mode)
-        out_ref[r] = total.astype(out_ref.dtype)
+            total = total + (_to_acc(acc_ref[r], int_mode) + acc_bias)
+        out_ref[r] = (total - out_bias).astype(out_ref.dtype)
+
+    if ret_carry:
+        @pl.when(i == nblocks - 1)
+        def _emit_carry():
+            cout_ref[...] = carry_ref[...]
 
 
 def sweep_v(cost, xshifts, p1, p2, reverse: bool, accum=None, out_dtype=None,
-            g: int = 4):
+            g: int = 4, acc_bias: float = 0.0, out_bias: float = 0.0,
+            init_carry=None, return_carry: bool = False):
     """Vertical sweep (top-down or bottom-up) aggregating up to three
-    same-orientation directions (axis-1 shifts), plus the running partial."""
+    same-orientation directions (axis-1 shifts), plus the running partial.
+
+    ``acc_bias``/``out_bias`` implement the biased-int16 2-byte encoding of
+    _partial_enc_ladder for the accum input / the written output.
+
+    ``init_carry`` (ndirs, W, D) f32 seeds the per-direction L state (used
+    by the row-tiled multi-device pipeline, parallel/tiling.py, to continue
+    a sweep across tile boundaries exactly); ``return_carry`` also returns
+    the final L state for handing to the next tile. Carry I/O requires H
+    divisible by g (zero-padded rows would corrupt the outgoing carry)."""
     n0, n1, d = cost.shape
     int_mode = cost.dtype == jnp.int16
     acc_dtype = jnp.float32  # all arithmetic is f32 (see header note)
     if out_dtype is None:
         out_dtype = acc_dtype
+    if return_carry or init_carry is not None:
+        while n0 % g:
+            g //= 2
     n0p = -(-n0 // g) * g
     if n0p != n0:
         padc = jnp.zeros((n0p - n0, n1, d), cost.dtype)
@@ -427,82 +479,68 @@ def sweep_v(cost, xshifts, p1, p2, reverse: bool, accum=None, out_dtype=None,
     else:
         imap = lambda i: (i, 0, 0)  # noqa: E731
 
+    nd = len(xshifts)
     kernel = functools.partial(
         _sweep_v_kernel, xshifts=tuple(xshifts), p1=p1, p2=p2, g=g,
         reverse=reverse, int_mode=int_mode, has_acc=accum is not None,
+        acc_bias=float(acc_bias), out_bias=float(out_bias),
+        has_init=init_carry is not None, ret_carry=return_carry,
+        nblocks=nblocks,
     )
     spec = pl.BlockSpec((g, n1, d), imap, memory_space=pltpu.VMEM)
-    in_specs = [spec] if accum is None else [spec, spec]
-    args = (cost,) if accum is None else (cost, accum)
+    cspec = pl.BlockSpec((nd, n1, d), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [spec]
+    args = [cost]
+    if accum is not None:
+        in_specs.append(spec)
+        args.append(accum)
+    if init_carry is not None:
+        in_specs.append(cspec)
+        args.append(init_carry.astype(jnp.float32))
+    out_specs = spec
+    out_shape = jax.ShapeDtypeStruct((n0p, n1, d), out_dtype)
+    if return_carry:
+        out_specs = (spec, cspec)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((nd, n1, d), jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid=(nblocks,),
         in_specs=in_specs,
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((n0p, n1, d), out_dtype),
-        scratch_shapes=[pltpu.VMEM((len(xshifts), n1, d), acc_dtype)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((nd, n1, d), acc_dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(*args)
+    if return_carry:
+        out, carry_out = out
     if n0p != n0:
         out = out[:n0] if not reverse else out[n0p - n0:]
+    if return_carry:
+        return out, carry_out
     return out
 
 
 # ---------------------------------------------------------------------------
-# WTA post-processing (in-register, row-local) + the fused final sweep.
+# WTA post-processing (in-register, column-local) + the fused final sweep.
+#
+# The final sweep is the right-to-left HORIZONTAL direction, fused with WTA:
+# scanning columns in descending x, the total S column is complete as soon
+# as the R->L recurrence has run, and the right view's WTA
+#
+#     bestR(x) = argmin_d S(x + d, d)
+#
+# falls out of the same scan *incrementally*: column x contributes lane d
+# to right-pixel x - d, so a D-slot ring buffer R with R[s] = running min
+# for right pixel (x - s) absorbs each column with ONE static lane roll
+# (R <- min(roll(R, -1), key_col)) and completes slot 0 (= right pixel x)
+# exactly at column x. This replaces the previous final-vertical-sweep
+# design whose in-kernel anti-diagonal shear (log2(D) full-volume
+# roll+select passes) was ~1/3 of the whole SGBM budget (round-2 profile).
 # ---------------------------------------------------------------------------
-
-
-def _shear_x_block(vol, sign: int, fill, axis: int = 0):
-    """In-register per-lane shear of a (W, D) block along the W axis (same
-    log-shift trick as sgbm._shear_x, usable inside kernels)."""
-    w = vol.shape[axis]
-    d = vol.shape[-1]
-    lane_shape = [1] * vol.ndim
-    lane_shape[-1] = d
-    lane = jax.lax.broadcasted_iota(jnp.int32, tuple(lane_shape), vol.ndim - 1)
-    x_shape = [1] * vol.ndim
-    x_shape[axis] = w
-    xs = jax.lax.broadcasted_iota(jnp.int32, tuple(x_shape), axis)
-    out = vol
-    k = 1
-    while k < d:
-        rolled = jnp.roll(out, sign * k, axis=axis)
-        if sign < 0:
-            rolled = jnp.where(xs >= w - k, fill, rolled)
-        else:
-            rolled = jnp.where(xs < k, fill, rolled)
-        out = jnp.where((lane & k) != 0, rolled, out)
-        k *= 2
-    return out
-
-
-def _shear_x_padded(vol, fill, axis: int = 1):
-    """Negative-direction shear via fill-padding: append D sublanes of
-    ``fill`` along ``axis`` so the log-shift rolls wrap harmlessly through
-    the pad zone — saves one boundary compare+select per pass (the shear
-    runs once per grid block over the full volume; this is the fused WTA
-    kernel's hottest stretch)."""
-    d = vol.shape[-1]
-    pad_shape = list(vol.shape)
-    pad_shape[axis] = d
-    padded = jnp.concatenate(
-        [vol, jnp.full(tuple(pad_shape), fill, vol.dtype)], axis=axis)
-    lane_shape = [1] * vol.ndim
-    lane_shape[-1] = d
-    lane = jax.lax.broadcasted_iota(jnp.int32, tuple(lane_shape),
-                                    vol.ndim - 1)
-    out = padded
-    k = 1
-    while k < d:
-        rolled = jnp.roll(out, -k, axis=axis)
-        out = jnp.where((lane & k) != 0, rolled, out)
-        k *= 2
-    sl = [slice(None)] * vol.ndim
-    sl[axis] = slice(0, vol.shape[axis])
-    return out[tuple(sl)]
 
 
 def _next_pow2(n):
@@ -512,31 +550,28 @@ def _next_pow2(n):
     return p
 
 
-def _wta_block(s, int_mode, min_disp, uniq, lr_max_diff):
-    """WTA + uniqueness + parabolic subpixel on an aggregated block
-    s (g, W, D) (f32, on the x2 cost grid in int mode). Mirrors
-    sgbm._wta semantics exactly; scale-invariant, so the x2 grid needs no
-    decode. Returns (disp16, valid, best, best_r), all (g, W) int32.
-
-    ``best_r`` is the *right view's* WTA lane (costR(x, d) = S(x+d, d));
-    the dR(x) = best_r[x - best(x)] lookup of the left-right check is a
-    tiny 2-D gather done by the caller in XLA — cheaper than a second
-    in-kernel shear.
+def _wta_cols(s, x_real, packed_ok, min_disp, uniq):
+    """WTA + uniqueness + parabolic subpixel on a COLUMN block s (H, g, D)
+    of the fully aggregated volume (f32; scale-invariant, so the x2 cost
+    grid needs no decode). ``x_real`` is the (1, g, 1) global column index
+    (for the left-band validity cut). Mirrors sgbm._wta semantics exactly.
+    Returns (disp16, valid, best), all (H, g) int32.
     """
-    gg, w, d = s.shape
+    hh, g, d = s.shape
     sf = s.astype(jnp.float32)
     d_f = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2).astype(jnp.float32)
-    x_idx = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
 
     # Packed-key argmin: one reduction gives (min value, first-min lane).
-    # Exact in f32 when max_sum * mult < 2^24 (true for the x2 int16 grid:
-    # 8 paths * (32767/25*5^2 + 2P2) * 128 < 2^24); float-cost mode falls
-    # back to the compare-based argmin.
+    # Exact in f32 only when max_total * next_pow2(D) + D < 2^24; the
+    # caller verifies that STATIC bound (sweep_h_wta) and passes
+    # ``packed_ok`` — large-block int16 configs (e.g. block_size >= 9 with
+    # 8 paths) exceed it and fall back to the compare-based argmin, as
+    # does float-cost mode (ADVICE r2).
     mult = _next_pow2(d)
-    if int_mode:
+    if packed_ok:
         key = sf * float(mult) + d_f
         bestkey = jnp.min(key, axis=-1, keepdims=True)
-        bk = bestkey.astype(jnp.int32)        # (g, w, 1): tiny int ops
+        bk = bestkey.astype(jnp.int32)        # (H, g, 1): tiny int ops
         best = bk & (mult - 1)
         min_s = ((bk - best) // mult).astype(jnp.float32)
     else:
@@ -545,7 +580,7 @@ def _wta_block(s, int_mode, min_disp, uniq, lr_max_diff):
                        keepdims=True).astype(jnp.int32)
     best_f = best.astype(jnp.float32)
 
-    valid = jnp.ones((gg, w, 1), jnp.bool_)
+    valid = jnp.ones((hh, g, 1), jnp.bool_)
     if uniq > 0:
         far = jnp.abs(d_f - best_f) > 1.0
         bad = jnp.any(far & (sf * (100.0 - uniq) < min_s * 100.0),
@@ -565,121 +600,174 @@ def _wta_block(s, int_mode, min_disp, uniq, lr_max_diff):
     d_float = best_f + frac + float(min_disp)
     disp16 = jnp.round(d_float * 16.0).astype(jnp.int32)
 
-    if lr_max_diff >= 0:
-        # Right-view WTA from the same volume: costR(x, d) = S(x+d, d).
-        if int_mode:
-            key_r = _shear_x_padded(key, BIG_F, axis=1)
-            bkr = jnp.min(key_r, axis=-1, keepdims=True).astype(jnp.int32)
-            best_r = bkr & (mult - 1)
-        else:
-            cost_r = _shear_x_padded(sf, BIG_F, axis=1)
-            minr = jnp.min(cost_r, axis=-1, keepdims=True)
-            best_r = jnp.min(jnp.where(cost_r == minr, d_f, float(d)),
-                             axis=-1, keepdims=True).astype(jnp.int32)
-    else:
-        best_r = jnp.zeros((gg, w, 1), jnp.int32)
     # No full-range right support on the left band.
-    valid &= (x_idx - (best + min_disp)) >= 0
-    return (disp16[..., 0], valid[..., 0].astype(jnp.int32),
-            best[..., 0], best_r[..., 0])
+    valid &= (x_real - (best + min_disp)) >= 0
+    return (disp16[..., 0], valid[..., 0].astype(jnp.int32), best[..., 0])
 
 
-def _sweep_v_wta_kernel(c_ref, acc_ref, disp_ref, valid_ref, best_ref,
-                        bestr_ref, carry_ref, tot_ref, *,
-                        xshifts, p1, p2, g, reverse, int_mode,
-                        min_disp, uniq, lr_max_diff):
-    """Final vertical sweep fused with WTA: when this sweep reaches a row,
-    the total S row is complete (all other directions' sums arrive via
-    acc_ref), so the disparity is produced in-register and S never exists
-    in HBM. Rows accumulate into a VMEM total block; WTA then runs once
-    per block (batched over g rows) instead of per row."""
+def _sweep_h_wta_kernel(c_ref, acc_ref, disp_ref, valid_ref, best_ref,
+                        bestr_ref, carry_ref, tot_ref, ring_ref, *,
+                        p1, p2, g, int_mode, packed_ok, min_disp, uniq,
+                        lr_max_diff, pad_left, nblocks, acc_bias):
+    """Final right-to-left horizontal sweep fused with WTA + incremental
+    right-view WTA. When this sweep reaches a column, the total S column is
+    complete (all other directions' sums arrive via acc_ref), so the
+    disparity is produced in-register and S never exists in HBM.
+
+    Ring-buffer invariant (see section comment): after processing column x,
+    ring[s] = min over already-seen contributions for right pixel (x - s);
+    the per-column update is ring <- min(roll(ring, -1), key_col), right
+    pixel x completes at slot 0, which is then reset for its wrap-around
+    reuse at column x - D.
+    """
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
-        carry_ref[...] = jnp.full(carry_ref.shape, _big(carry_ref.dtype),
-                                  carry_ref.dtype)
+        carry_ref[...] = jnp.full(carry_ref.shape, BIG_F, jnp.float32)
+        ring_ref[...] = jnp.full(ring_ref.shape, BIG_F, jnp.float32)
 
-    n1, d = c_ref.shape[1], c_ref.shape[2]
-    x_idx = jax.lax.broadcasted_iota(jnp.int32, (n1, 1), 0)
+    h, _, d = c_ref.shape
     d_idx = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
-    big = _big(carry_ref.dtype)
-    rows = range(g - 1, -1, -1) if reverse else range(g)
-    for r in rows:
-        c = _to_acc(c_ref[r], int_mode)
-        total = _row_step(carry_ref, c, xshifts, x_idx, d_idx, n1, d,
-                          p1, p2, big)
-        tot_ref[r] = total + _to_acc(acc_ref[r], int_mode)
+    d_f = d_idx.astype(jnp.float32)
+    lane0 = d_idx == 0
+    mult = float(_next_pow2(d))
+    blk = nblocks - 1 - i
+    if lr_max_diff < 0:
+        bestr_ref[...] = jnp.zeros(bestr_ref.shape, jnp.int32)
+    for j in range(g - 1, -1, -1):
+        c = _to_acc(c_ref[:, j, :], int_mode)
+        L = _dir_update(carry_ref[0], c, d_idx, d, p1, p2, BIG_F)
+        carry_ref[0] = L
+        total = L + (_to_acc(acc_ref[:, j, :], int_mode) + acc_bias)
+        tot_ref[:, j, :] = total
+        if lr_max_diff >= 0:
+            # Deposit this column into the right-view ring buffer and
+            # extract the completed right pixel (slot 0). Tie-breaking
+            # matches the left WTA: packed keys prefer the smallest d;
+            # the compare fallback uses <= because contributions for a
+            # given right pixel arrive in DECREASING d order.
+            rolled = jnp.roll(ring_ref[0], -1, axis=-1)
+            if packed_ok:
+                key = total * mult + d_f
+                ring = jnp.minimum(rolled, key)
+                br = ring[:, 0:1].astype(jnp.int32) & (int(mult) - 1)
+            else:
+                rolled_arg = jnp.roll(ring_ref[1], -1, axis=-1)
+                take = total <= rolled
+                ring = jnp.where(take, total, rolled)
+                ring_arg = jnp.where(take, d_f, rolled_arg)
+                br = ring_arg[:, 0:1].astype(jnp.int32)
+                # Reset slot 0 AFTER extraction, for its wrap-around reuse;
+                # arg sentinel d = "no contribution seen".
+                ring_ref[1] = jnp.where(lane0, float(d), ring_arg)
+            ring_ref[0] = jnp.where(lane0, BIG_F, ring)
+            bestr_ref[:, j:j + 1] = br
 
-    disp16, valid, best, best_r = _wta_block(
-        tot_ref[...], int_mode, min_disp, uniq, lr_max_diff)
-    disp_ref[...] = disp16
-    valid_ref[...] = valid
-    best_ref[...] = best
-    bestr_ref[...] = best_r
+    # WTA in column chunks: the uniqueness/subpixel math holds ~8 live
+    # (H, chunk, D) f32 temporaries on the Mosaic vector stack — chunking
+    # bounds that footprint (a whole 128-column block OOMs VMEM at
+    # KITTI-class shapes).
+    ck = 16
+    iota_ck = jax.lax.broadcasted_iota(jnp.int32, (1, ck, 1), 1)
+    for c0 in range(0, g, ck):
+        disp16, valid, best = _wta_cols(
+            tot_ref[:, c0:c0 + ck, :],
+            blk * g + c0 - pad_left + iota_ck,
+            packed_ok, min_disp, uniq)
+        disp_ref[:, c0:c0 + ck] = disp16
+        valid_ref[:, c0:c0 + ck] = valid
+        best_ref[:, c0:c0 + ck] = best
 
 
-def sweep_v_wta(cost, xshifts, p1, p2, reverse: bool, accum, params,
-                g: int = 8):
-    """Final fused sweep: returns (disp16 int32 (H, W), valid bool (H, W))."""
-    n0, n1, d = cost.shape
+def sweep_h_wta(cost, p1, p2, accum, params, g: int = 128,
+                max_total: int | None = None, acc_bias: float = 0.0):
+    """Final fused sweep (right-to-left horizontal direction + WTA +
+    incremental right-view WTA): returns (disp16 int32 (H, W), valid bool).
+
+    ``accum`` carries the sum of all other directions. ``max_total`` is the
+    static upper bound on the fully aggregated S (on the cost volume's
+    encoding grid); it gates the packed-key argmin on f32 exactness
+    (max_total * next_pow2(D) + D < 2^24). None disables the packed trick.
+
+    g=128 columns per block: the (H, g) disparity outputs need a
+    128-divisible lane dimension (Mosaic block rule).
+    """
+    h, w, d = cost.shape
     int_mode = cost.dtype == jnp.int16
-    acc_dtype = jnp.float32  # all arithmetic is f32 (see header note)
-    n0p = -(-n0 // g) * g
-    if n0p != n0:
-        padc = jnp.zeros((n0p - n0, n1, d), cost.dtype)
-        cost = jnp.concatenate([cost, padc] if not reverse else [padc, cost],
-                               axis=0)
-        pada = jnp.zeros((n0p - n0, n1, d), accum.dtype)
-        accum = jnp.concatenate(
-            [accum, pada] if not reverse else [pada, accum], axis=0)
-    nblocks = n0p // g
-    if reverse:
-        imap3 = lambda i: (nblocks - 1 - i, 0, 0)  # noqa: E731
-        imap2 = lambda i: (nblocks - 1 - i, 0)  # noqa: E731
-    else:
-        imap3 = lambda i: (i, 0, 0)  # noqa: E731
-        imap2 = lambda i: (i, 0)  # noqa: E731
+    packed_ok = (max_total is not None
+                 and max_total * _next_pow2(d) + d < 2 ** 24)
+    wp = -(-w // g) * g
+    pad_left = wp - w
+    if pad_left:
+        padc = jnp.zeros((h, pad_left, d), cost.dtype)
+        cost = jnp.concatenate([padc, cost], axis=1)
+        pada = jnp.zeros((h, pad_left, d), accum.dtype)
+        accum = jnp.concatenate([pada, accum], axis=1)
+    nblocks = wp // g
+    imap3 = lambda i: (0, nblocks - 1 - i, 0)  # noqa: E731
+    imap2 = lambda i: (0, nblocks - 1 - i)  # noqa: E731
 
     lr_max_diff = int(params.disp12_max_diff)
     kernel = functools.partial(
-        _sweep_v_wta_kernel, xshifts=tuple(xshifts), p1=p1, p2=p2, g=g,
-        reverse=reverse, int_mode=int_mode,
-        min_disp=int(params.min_disparity),
-        uniq=float(params.uniqueness_ratio),
-        lr_max_diff=lr_max_diff,
+        _sweep_h_wta_kernel, p1=p1, p2=p2, g=g, int_mode=int_mode,
+        packed_ok=packed_ok, min_disp=int(params.min_disparity),
+        uniq=float(params.uniqueness_ratio), lr_max_diff=lr_max_diff,
+        pad_left=pad_left, nblocks=nblocks, acc_bias=float(acc_bias),
     )
-    spec3 = pl.BlockSpec((g, n1, d), imap3, memory_space=pltpu.VMEM)
-    spec2 = pl.BlockSpec((g, n1), imap2, memory_space=pltpu.VMEM)
+    spec3 = pl.BlockSpec((h, g, d), imap3, memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((h, g), imap2, memory_space=pltpu.VMEM)
+    n_ring = 1 if packed_ok else 2
     disp16, valid, best, best_r = pl.pallas_call(
         kernel,
         grid=(nblocks,),
         in_specs=[spec3, spec3],
         out_specs=(spec2, spec2, spec2, spec2),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((n0p, n1), jnp.int32) for _ in range(4)),
+            jax.ShapeDtypeStruct((h, wp), jnp.int32) for _ in range(4)),
         scratch_shapes=[
-            pltpu.VMEM((len(xshifts), n1, d), acc_dtype),
-            pltpu.VMEM((g, n1, d), acc_dtype),
+            pltpu.VMEM((1, h, d), jnp.float32),       # R->L carry
+            pltpu.VMEM((h, g, d), jnp.float32),       # total S block
+            pltpu.VMEM((n_ring, h, d), jnp.float32),  # right-WTA ring
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(cost, accum)
-    if n0p != n0:
-        sl = slice(None, n0) if not reverse else slice(n0p - n0, None)
-        disp16, valid = disp16[sl], valid[sl]
-        best, best_r = best[sl], best_r[sl]
+    if pad_left:
+        disp16, valid = disp16[:, pad_left:], valid[:, pad_left:]
+        best, best_r = best[:, pad_left:], best_r[:, pad_left:]
     valid = valid.astype(bool)
     if lr_max_diff >= 0:
         # dR(x) = bestR[x - best(x)]: a tiny (H, W) gather along rows —
-        # cheaper in XLA than a second full shear inside the kernel.
-        x = jnp.arange(n1, dtype=jnp.int32)[None, :]
-        idx = jnp.clip(x - best, 0, n1 - 1)
+        # cheaper in XLA than threading it through the ring kernel.
+        x = jnp.arange(w, dtype=jnp.int32)[None, :]
+        idx = jnp.clip(x - best, 0, w - 1)
         d_r = jnp.take_along_axis(best_r, idx, axis=1)
         ok = (jnp.abs(best - d_r) <= lr_max_diff) | (x - best < 0)
+        # best_r = D encodes "no contribution seen" (compare fallback);
+        # packed mode can't produce it, and cv2 treats missing right
+        # support as unmatched -> invalid, which |best - D| > maxdiff
+        # reproduces for every real best.
         valid &= ok
     return disp16, valid
+
+
+def _partial_enc_ladder(per_dir: int):
+    """Storage encoding (dtype, bias) for an n-direction partial sum on the
+    x2 int grid: 2-byte whenever the static bound allows. Values are
+    non-negative, so a +32768 load-bias extends the 2-byte window to 65535
+    (e.g. the default 5-path block-5 config's 4-direction partial) without
+    unsigned types, which Mosaic cannot cast to/from f32. Bias arithmetic
+    is exact (integers < 2^24); else int32, bias 0."""
+    def partial_enc(ndirs):
+        t = ndirs * per_dir
+        if t <= 32767:
+            return jnp.int16, 0.0
+        if t <= 65535:
+            return jnp.int16, 32768.0
+        return jnp.int32, 0.0
+    return partial_enc
 
 
 def aggregate_wta(cost, params, cost_max: int | None):
@@ -698,36 +786,66 @@ def aggregate_wta(cost, params, cost_max: int | None):
         p1 = float(2 * params.effective_p1)
         p2 = float(2 * params.effective_p2)
         per_dir = int(cost_max) + int(p2)
-
-        def partial_dtype(ndirs):
-            return jnp.int16 if ndirs * per_dir <= 32767 else jnp.int32
+        max_total = params.num_paths * per_dir
+        partial_enc = _partial_enc_ladder(per_dir)
     else:
         p1 = float(params.effective_p1)
         p2 = float(params.effective_p2)
+        max_total = None
 
-        def partial_dtype(ndirs):
-            return jnp.float32
+        def partial_enc(ndirs):
+            return jnp.float32, 0.0
 
-    # Horizontal pair: left->right, then right->left accumulating onto it.
-    s1 = sweep_h(cost, p1, p2, False, out_dtype=partial_dtype(1))
-    return _finish_from_s1(cost, s1, params, p1, p2, partial_dtype)
+    # Forward horizontal sweep first; the reverse one is fused with WTA.
+    s1 = sweep_h(cost, p1, p2, False, out_dtype=partial_enc(1)[0])
+    return _finish_from_s1(cost, s1, params, p1, p2, partial_enc,
+                           max_total)
 
 
-def _finish_from_s1(cost, s1, params, p1, p2, partial_dtype):
+def _finish_from_s1(cost, s1, params, p1, p2, partial_enc,
+                    max_total=None):
     """Remaining sweeps after the forward-horizontal partial s1 (which may
-    come from sweep_h or from the fused cost kernel)."""
-    s2 = sweep_h(cost, p1, p2, True, accum=s1, out_dtype=partial_dtype(2))
+    come from sweep_h or from the fused cost kernel). The right-to-left
+    horizontal direction always runs LAST, fused with the WTA + the
+    incremental right-view check (sweep_h_wta)."""
     if params.num_paths == 5:
-        # OpenCV MODE_SGBM-like: + up, up-left, up-right in the final sweep.
-        return sweep_v_wta(cost, (0, 1, -1), p1, p2, False, s2, params)
-    if params.num_paths == 4:
-        s3 = sweep_v(cost, (0,), p1, p2, False, accum=s2,
-                     out_dtype=partial_dtype(3))
-        return sweep_v_wta(cost, (0,), p1, p2, True, s3, params)
-    # 8 paths: top-down trio accumulates, bottom-up trio fuses WTA.
-    s3 = sweep_v(cost, (0, 1, -1), p1, p2, False, accum=s2,
-                 out_dtype=partial_dtype(5))
-    return sweep_v_wta(cost, (0, 1, -1), p1, p2, True, s3, params)
+        # OpenCV MODE_SGBM-like: up, up-left, up-right accumulate; R->L
+        # closes the sum in the fused WTA sweep.
+        dt3, b3 = partial_enc(4)
+        s3 = sweep_v(cost, (0, 1, -1), p1, p2, False, accum=s1,
+                     out_dtype=dt3, out_bias=b3)
+    elif params.num_paths == 4:
+        dt2, b2 = partial_enc(2)
+        s2 = sweep_v(cost, (0,), p1, p2, False, accum=s1,
+                     out_dtype=dt2, out_bias=b2)
+        dt3, b3 = partial_enc(3)
+        s3 = sweep_v(cost, (0,), p1, p2, True, accum=s2,
+                     out_dtype=dt3, acc_bias=b2, out_bias=b3)
+    else:  # 8 paths: top-down trio, then bottom-up trio.
+        dt2, b2 = partial_enc(4)
+        s2 = sweep_v(cost, (0, 1, -1), p1, p2, False, accum=s1,
+                     out_dtype=dt2, out_bias=b2)
+        dt3, b3 = partial_enc(7)
+        s3 = sweep_v(cost, (0, 1, -1), p1, p2, True, accum=s2,
+                     out_dtype=dt3, acc_bias=b2, out_bias=b3)
+    return sweep_h_wta(cost, p1, p2, s3, params, max_total=max_total,
+                       acc_bias=b3)
+
+
+def prep_x2_envelopes(lp, rp):
+    """x2-scaled prefiltered images + their BT half-sample envelopes (the
+    2D inputs of cost_sweep_fused)."""
+    def env(a):
+        am = 0.5 * (a + jnp.roll(a, 1, axis=1))
+        ap = 0.5 * (a + jnp.roll(a, -1, axis=1))
+        return (jnp.minimum(jnp.minimum(am, ap), a),
+                jnp.maximum(jnp.maximum(am, ap), a))
+
+    lp2 = lp.astype(jnp.float32) * 2.0
+    rp2 = rp.astype(jnp.float32) * 2.0
+    llo, lhi = env(lp2)
+    rlo, rhi = env(rp2)
+    return lp2, llo, lhi, rp2, rlo, rhi
 
 
 def sgbm_fused_tpu(lp, rp, params, sentinel: int):
@@ -743,21 +861,11 @@ def sgbm_fused_tpu(lp, rp, params, sentinel: int):
     bs = params.block_size
     cost_max = bs * bs * int(sentinel)
     per_dir = cost_max + int(p2)
+    max_total = params.num_paths * per_dir
+    partial_enc = _partial_enc_ladder(per_dir)
 
-    def partial_dtype(ndirs):
-        return jnp.int16 if ndirs * per_dir <= 32767 else jnp.int32
-
-    def env(a):
-        am = 0.5 * (a + jnp.roll(a, 1, axis=1))
-        ap = 0.5 * (a + jnp.roll(a, -1, axis=1))
-        return (jnp.minimum(jnp.minimum(am, ap), a),
-                jnp.maximum(jnp.maximum(am, ap), a))
-
-    lp2 = lp.astype(jnp.float32) * 2.0
-    rp2 = rp.astype(jnp.float32) * 2.0
-    llo, lhi = env(lp2)
-    rlo, rhi = env(rp2)
+    lp2, llo, lhi, rp2, rlo, rhi = prep_x2_envelopes(lp, rp)
     C, s1 = cost_sweep_fused(lp2, llo, lhi, rp2, rlo, rhi, params,
                              int(sentinel), p1, p2,
-                             s1_dtype=partial_dtype(1))
-    return _finish_from_s1(C, s1, params, p1, p2, partial_dtype)
+                             s1_dtype=partial_enc(1)[0])
+    return _finish_from_s1(C, s1, params, p1, p2, partial_enc, max_total)

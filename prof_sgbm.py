@@ -36,7 +36,7 @@ def main():
     from openvo_tpu.config import SGBMParams
     from openvo_tpu.io.synthetic import render_stereo_sequence
     from openvo_tpu.ops import sgbm
-    from openvo_tpu.ops.sgbm_pallas import sweep_h, sweep_v_wta
+    from openvo_tpu.ops.sgbm_pallas import sweep_h, sweep_h_wta
 
     IMG_SIZE = (1242, 376)
     seq = render_stereo_sequence(n_frames=1, img_size=IMG_SIZE, f=718.0,
@@ -73,11 +73,8 @@ def main():
     cost_max = p.block_size * p.block_size * sent
     p1e, p2e = 2 * p.effective_p1, 2 * p.effective_p2
 
-    @jax.jit
-    def hpair(C):
-        s1 = sweep_h(C, p1e, p2e, False, out_dtype=jnp.int16)
-        s2 = sweep_h(C, p1e, p2e, True, accum=s1, out_dtype=jnp.int16)
-        return s2.astype(jnp.int32).sum()
+    per_dir = cost_max + int(p2e)
+    max_total = p.num_paths * per_dir
 
     @jax.jit
     def hsingle(C):
@@ -86,8 +83,8 @@ def main():
 
     @jax.jit
     def final_wta(C):
-        s2 = jnp.zeros(C.shape, jnp.int16)
-        d16, v = sweep_v_wta(C, (0, 1, -1), p1e, p2e, False, s2, p)
+        s3 = jnp.zeros(C.shape, jnp.int16)
+        d16, v = sweep_h_wta(C, p1e, p2e, s3, p, max_total=max_total)
         return d16.sum() + v.sum()
 
     timeit("noop baseline", jax.jit(lambda x: x.sum()),
@@ -95,44 +92,43 @@ def main():
     timeit("full sgbm_disparity16", full, left, right)
     timeit("cost+block", costblock, left, right)
     timeit("sweep_h fwd only", hsingle, C)
-    timeit("sweep_h pair", hpair, C)
-    timeit("final sweep+wta", final_wta, C)
+    timeit("final hsweep+wta+ring", final_wta, C)
 
     from openvo_tpu.ops.sgbm_pallas import sweep_v
     import dataclasses
 
     @jax.jit
     def v3_accum(C):
-        s2 = jnp.zeros(C.shape, jnp.int16)
-        s3 = sweep_v(C, (0, 1, -1), p1e, p2e, False, accum=s2,
-                     out_dtype=jnp.int32)
-        return s3.sum()
+        s1 = jnp.zeros(C.shape, jnp.int16)
+        s3 = sweep_v(C, (0, 1, -1), p1e, p2e, False, accum=s1,
+                     out_dtype=jnp.int16, out_bias=32768.0)
+        return s3.astype(jnp.int32).sum()
 
     p_nolr = dataclasses.replace(p, disp12_max_diff=-1)
     p_min = dataclasses.replace(p, disp12_max_diff=-1, uniqueness_ratio=0)
 
     @jax.jit
     def final_nolr(C):
-        s2 = jnp.zeros(C.shape, jnp.int16)
-        d16, v = sweep_v_wta(C, (0, 1, -1), p1e, p2e, False, s2, p_nolr)
+        s3 = jnp.zeros(C.shape, jnp.int16)
+        d16, v = sweep_h_wta(C, p1e, p2e, s3, p_nolr, max_total=max_total)
         return d16.sum() + v.sum()
 
     @jax.jit
     def final_min(C):
-        s2 = jnp.zeros(C.shape, jnp.int16)
-        d16, v = sweep_v_wta(C, (0, 1, -1), p1e, p2e, False, s2, p_min)
+        s3 = jnp.zeros(C.shape, jnp.int16)
+        d16, v = sweep_h_wta(C, p1e, p2e, s3, p_min, max_total=max_total)
         return d16.sum() + v.sum()
 
     @jax.jit
-    def final_1dir(C):
-        s2 = jnp.zeros(C.shape, jnp.int16)
-        d16, v = sweep_v_wta(C, (0,), p1e, p2e, False, s2, p)
+    def final_unpacked(C):
+        s3 = jnp.zeros(C.shape, jnp.int16)
+        d16, v = sweep_h_wta(C, p1e, p2e, s3, p, max_total=None)
         return d16.sum() + v.sum()
 
     timeit("sweep_v 3dir accum (noWTA)", v3_accum, C)
     timeit("final wta no-LR", final_nolr, C)
     timeit("final wta no-LR no-uniq", final_min, C)
-    timeit("final wta 1dir", final_1dir, C)
+    timeit("final wta unpacked-argmin", final_unpacked, C)
 
 
 if __name__ == "__main__":
