@@ -11,13 +11,12 @@ Monocular scale is unobservable: per-frame translation is unit-norm, scaled
 by ``trans_scale`` (callers with external scale — speedometer, IMU — pass it
 per update).
 
-Degenerate geometry note: the hypothesis sampler is the 8-point algorithm,
-which (like any essential-matrix estimator, including cv2's Nister 5-point)
-loses uniqueness when the scene is a single plane — E is then only
-determined up to a family, and recoverPose's cheirality vote may pick a
-spurious decomposition. The failure mode is graceful (finite pose, ok=False
-with ``skip_cause`` in {"inliers", "support"} or an accepted near-correct
-pose), covered by tests/test_mono.py::test_planar_scene_degenerate_graceful.
+The hypothesis engine is Nister's 5-POINT minimal solver
+(pose/fivepoint.py) — the same algorithm behind cv2.findEssentialMat's
+RANSAC — with cheirality tie-breaking, so planar scenes resolve to the
+correct pose (the calibrated twisted-pair ambiguity) instead of
+degenerating like the 8-point DLT (round-2 behavior; the 8-point variant
+remains available as pose/ransac.ransac_essential).
 """
 
 from __future__ import annotations
@@ -32,7 +31,7 @@ from openvo_tpu.config import OdometerConfig
 from openvo_tpu.geometry.se3 import rt_to_T
 from openvo_tpu.ops.hamming import ratio_test_match
 from openvo_tpu.ops.orb import detect_and_compute
-from openvo_tpu.pose.ransac import ransac_essential, recover_pose
+from openvo_tpu.pose.ransac import ransac_essential_5pt, recover_pose
 
 
 class MonoFrame(NamedTuple):
@@ -90,9 +89,13 @@ def make_step(K, cfg: OdometerConfig, ransac_iters: int = 256,
         n_matches = jnp.sum(mok.astype(jnp.int32))
 
         key, sub = jax.random.split(state.key)
-        E, inl, n_inl = ransac_essential(x1, x2, mok, sub,
-                                         iters=ransac_iters,
-                                         inlier_threshold=thresh)
+        # 5-point minimal hypotheses: each sample yields up to 10
+        # candidate E's, so ~1/10th the sample count of the 8-point
+        # variant explores the same model count.
+        E, inl, n_inl = ransac_essential_5pt(x1, x2, mok, sub,
+                                             iters=max(ransac_iters // 4,
+                                                       16),
+                                             inlier_threshold=thresh)
         R, t, support = recover_pose(E, x1, x2, inl)
         n_support = jnp.sum(support.astype(jnp.int32))
 

@@ -97,7 +97,10 @@ def sampson_error(E, x1, x2):
 
 def ransac_essential(x1, x2, mask, key, iters: int = 256,
                      inlier_threshold: float = 1e-3):
-    """Robust essential matrix from normalized image points (N, 2) each.
+    """Robust essential matrix from normalized image points (N, 2) each,
+    with 8-point hypotheses (kept for comparison/tests; the production
+    mono path uses :func:`ransac_essential_5pt`, the cv2.findEssentialMat
+    parity engine).
 
     ``inlier_threshold`` is on the Sampson distance in normalized coords
     (cv2.findEssentialMat's default 1px threshold at f=700 is ~(1/700)^2).
@@ -116,6 +119,125 @@ def ransac_essential(x1, x2, mask, key, iters: int = 256,
     best = jnp.argmax(scores)
     E = Es[best]
     inliers = (sampson_error(E, x1, x2) < inlier_threshold) & mask
+    return E, inliers, jnp.sum(inliers.astype(jnp.int32))
+
+
+def _masked_eight_point(x1, x2, w):
+    """Least-squares essential matrix from ALL correspondences weighted by
+    ``w`` (0/1 inlier mask), projected to the essential manifold. Used as
+    the post-RANSAC refinement: a minimal 5-point sample interpolates its
+    5 noisy points exactly, so the winning hypothesis carries pixel noise
+    straight into the pose; refitting over the full inlier set averages it
+    away (same role as cv2's inlier refit in estimateAffine-family APIs)."""
+    a = jnp.stack(
+        [
+            x2[:, 0] * x1[:, 0], x2[:, 0] * x1[:, 1], x2[:, 0],
+            x2[:, 1] * x1[:, 0], x2[:, 1] * x1[:, 1], x2[:, 1],
+            x1[:, 0], x1[:, 1], jnp.ones_like(x1[:, 0]),
+        ],
+        axis=1,
+    ) * w[:, None].astype(x1.dtype)
+    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+    E = vt[-1].reshape(3, 3)
+    u, _, v = jnp.linalg.svd(E)
+    return u @ jnp.diag(jnp.array([1.0, 1.0, 0.0])) @ v
+
+
+def ransac_essential_5pt(x1, x2, mask, key, iters: int = 64,
+                         inlier_threshold: float = 1e-3,
+                         top_candidates: int = 8,
+                         refit_rounds: int = 2):
+    """Robust essential matrix with Nister 5-POINT minimal hypotheses
+    (cv2.findEssentialMat's RANSAC engine; pose/fivepoint.py). Each
+    sample yields up to 10 candidate E's.
+
+    Model selection is MSAC-first with a margin-gated cheirality vote:
+
+     - primary score = truncated-Sampson sum (MSAC). Binary inlier counts
+       barely discriminate on forward motion (most candidates fit ~90% of
+       points inside a 1px threshold) and the cheirality vote actively
+       anti-correlates with correctness there (points near the focus of
+       expansion triangulate to unstable depth signs, so WRONG models
+       score full support) — measured on the synthetic corridor, inlier
+       count picked 31-89 deg translation-direction errors while MSAC
+       picks 4-15 deg.
+     - candidates within a small MSAC margin of the best are near-ties
+       (the planar E family fits all points equally); ONLY those are
+       tie-broken by cheirality support, which resolves the planar
+       twisted-pair ambiguity the 8-point DLT cannot.
+     - GUARDED inlier refit: the minimal winner interpolates its 5 noisy
+       points exactly, carrying pixel noise into the pose; a masked
+       8-point least-squares refit over the inlier set averages it away
+       (1-3 deg direction error measured, vs 4-15 before). Each refit is
+       accepted only if MSAC does not worsen AND cheirality support keeps
+       >= 70% — on planar scenes the rank-deficient DLT returns an
+       arbitrary family member whose support collapses, so the guarded
+       update keeps the cheirality-disambiguated minimal model.
+
+    Returns (E, inlier_mask, n_inliers).
+    """
+    from openvo_tpu.pose.fivepoint import five_point_candidates
+
+    n = x1.shape[0]
+    idx = _sample_indices(key, iters, 5, n, mask)
+
+    def msac_of(E):
+        err = sampson_error(E, x1, x2)
+        return jnp.sum(jnp.where(mask, jnp.minimum(err, inlier_threshold),
+                                 0.0))
+
+    def hypothesis(ids):
+        Es, valid = five_point_candidates(x1[ids], x2[ids])
+        s = jax.vmap(msac_of)(Es)
+        return jnp.where(valid, s, jnp.inf), Es
+
+    msacs, Es = jax.vmap(hypothesis)(idx)          # (iters, 10)
+    flat_m = msacs.reshape(-1)
+    flat_E = Es.reshape(-1, 3, 3)
+    k = min(top_candidates, flat_m.shape[0])
+    neg_top, top_i = jax.lax.top_k(-flat_m, k)     # ascending MSAC
+    top_m = -neg_top
+    top_E = flat_E[top_i]
+
+    def support_of(E):
+        inl = (sampson_error(E, x1, x2) < inlier_threshold) & mask
+        _, _, good = recover_pose(E, x1, x2, inl)
+        return jnp.sum(good.astype(jnp.int32))
+
+    support = jax.vmap(support_of)(top_E)
+    m_best = top_m[0]
+    # Near-tie margin: 2% relative, floored at 0.1% of the all-points
+    # truncated maximum (so exact-fit planar families, msac ~ 0, still
+    # count as tied under float noise).
+    margin = jnp.maximum(0.02 * m_best,
+                         1e-3 * inlier_threshold * jnp.sum(mask))
+    eligible = top_m <= m_best + margin
+    # Among near-ties: max support; argmax picks the lowest-MSAC one on
+    # equal support (top_E is MSAC-ascending).
+    best = jnp.argmax(jnp.where(eligible, support, -1))
+    E = top_E[best]
+    cur_m = top_m[best]
+    cur_sup = support[best]
+    inliers = (sampson_error(E, x1, x2) < inlier_threshold) & mask
+
+    for _ in range(refit_rounds):
+        E_ref = _masked_eight_point(x1, x2, inliers)
+        m_ref = msac_of(E_ref)
+        sup_ref = support_of(E_ref)
+        # The LSQ refit minimizes ALGEBRAIC error, which can sit a few
+        # percent off the MSAC optimum while being much closer to the
+        # true pose (measured: 14 deg -> 2 deg direction error at +5%
+        # MSAC), so the refit is trusted by default; the guards only
+        # catch blow-ups (outlier-pulled fit, 1.5x MSAC) and the planar
+        # rank-deficient DLT (cheirality support collapse).
+        ok = ((m_ref <= 1.5 * cur_m)
+              & (sup_ref.astype(jnp.float32)
+                 >= 0.7 * cur_sup.astype(jnp.float32))
+              & jnp.all(jnp.isfinite(E_ref)))
+        E = jnp.where(ok, E_ref, E)
+        cur_m = jnp.where(ok, m_ref, cur_m)
+        cur_sup = jnp.where(ok, sup_ref, cur_sup)
+        inliers = (sampson_error(E, x1, x2) < inlier_threshold) & mask
     return E, inliers, jnp.sum(inliers.astype(jnp.int32))
 
 

@@ -12,6 +12,7 @@ from openvo_tpu.io.synthetic import render_stereo_sequence
 from openvo_tpu.models.mono_odometer import MonoOdometer
 from openvo_tpu.pose.ransac import (
     ransac_essential,
+    ransac_essential_5pt,
     ransac_rigid,
     recover_pose,
     sampson_error,
@@ -99,39 +100,76 @@ def test_ransac_rigid_rejects_outliers():
     np.testing.assert_allclose(np.asarray(T)[:3, :3], R, atol=1e-3)
 
 
-def test_planar_scene_degenerate_graceful():
-    """All-planar scene: essential-matrix estimation is inherently
-    degenerate (E only determined up to a family; see the mono_odometer
-    docstring). The pipeline must stay graceful: finite outputs, and
-    either a near-correct accepted pose or a rejection."""
-    rng = np.random.default_rng(7)
+def _planar_two_view(seed=7, n=200):
+    rng = np.random.default_rng(seed)
     # points on the z = 6 plane
-    pts = np.c_[rng.uniform(-3, 3, size=(200, 2)), np.full(200, 6.0)]
+    pts = np.c_[rng.uniform(-3, 3, size=(n, 2)), np.full(n, 6.0)]
     R_true = np.eye(3)
     t_true = np.array([0.4, 0.0, 0.1])
     p2 = pts @ R_true.T + t_true
     x1 = (pts[:, :2] / pts[:, 2:3]).astype(np.float32)
     x2 = (p2[:, :2] / p2[:, 2:3]).astype(np.float32)
+    return x1, x2, R_true, t_true
+
+
+def test_five_point_minimal_solver_contains_truth():
+    """The Nister 5-point minimal solver's candidate set must contain the
+    true essential matrix for an exact 5-correspondence sample."""
+    from openvo_tpu.pose.fivepoint import five_point_candidates
+
+    x1, x2, R, t = synthetic_two_view(5, n=5)
+    Es, valid = jax.jit(five_point_candidates)(jnp.asarray(x1),
+                                               jnp.asarray(x2))
+    Es, valid = np.asarray(Es), np.asarray(valid)
+    assert valid.any()
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    E_true = tx @ R
+    E_true /= np.linalg.norm(E_true)
+    errs = [min(np.linalg.norm(E - E_true), np.linalg.norm(E + E_true))
+            for E, v in zip(Es, valid) if v]
+    assert min(errs) < 5e-3, errs
+
+
+def test_planar_scene_recovered_by_five_point():
+    """All-planar scene (the 8-point DLT's degenerate case): 5-point +
+    cheirality must recover the TRUE pose — the upgrade VERDICT r2 item 9
+    asked for, matching cv2.findEssentialMat's Nister engine."""
+    x1, x2, R_true, t_true = _planar_two_view()
     mask = np.ones(len(x1), bool)
-    E, inl, n_inl = ransac_essential(jnp.asarray(x1), jnp.asarray(x2),
-                                     jnp.asarray(mask), jax.random.PRNGKey(0),
-                                     iters=256, inlier_threshold=1e-6)
+    E, inl, n_inl = ransac_essential_5pt(
+        jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(mask),
+        jax.random.PRNGKey(0), iters=64, inlier_threshold=1e-6)
+    assert int(n_inl) > 0.9 * len(x1), int(n_inl)
     R, t, support = recover_pose(E, jnp.asarray(x1), jnp.asarray(x2), inl)
     R, t = np.asarray(R), np.asarray(t)
-    # Graceful-degeneracy contract (see mono_odometer docstring): the
-    # estimate may be a spurious member of the planar E family, but the
-    # output must be a finite, valid rigid motion — never NaN/garbage.
     assert np.isfinite(R).all() and np.isfinite(t).all()
-    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
-    assert np.linalg.det(R) > 0.99
-    np.testing.assert_allclose(np.linalg.norm(t), 1.0, atol=1e-4)
-    # Report (not assert) whether this seed recovered the true motion.
+    np.testing.assert_allclose(R, R_true, atol=0.02)
     t_dir = t_true / np.linalg.norm(t_true)
-    recovered = (np.allclose(R, np.eye(3), atol=0.05)
-                 and min(np.linalg.norm(t - t_dir),
-                         np.linalg.norm(t + t_dir)) < 0.2)
-    print(f"planar case: recovered={recovered} "
-          f"support={int(support.sum())}/{len(x1)}")
+    assert min(np.linalg.norm(t - t_dir), np.linalg.norm(t + t_dir)) < 0.1
+    assert int(support.sum()) > 0.8 * len(x1)
+
+
+def test_five_point_matches_cv2_on_general_scene():
+    """Parity vs cv2.findEssentialMat(method=RANSAC) — the same Nister
+    5-point engine — on a general (non-planar) scene with outliers."""
+    x1, x2, R_true, t_true = synthetic_two_view(11, n=200, noise=1e-4,
+                                                outliers=30)
+    mask = np.ones(len(x1), bool)
+    E, inl, n_inl = ransac_essential_5pt(
+        jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(mask),
+        jax.random.PRNGKey(1), iters=64, inlier_threshold=1e-5)
+    inl = np.asarray(inl)
+    assert inl[:30].sum() <= 3
+    assert inl[30:].mean() > 0.8
+    E_cv, mask_cv = cv2.findEssentialMat(
+        x1, x2, np.eye(3), method=cv2.RANSAC, prob=0.999, threshold=3e-3)
+    _, R_cv, t_cv, _ = cv2.recoverPose(E_cv, x1, x2, np.eye(3),
+                                       mask=mask_cv.copy())
+    R, t, _ = recover_pose(E, jnp.asarray(x1), jnp.asarray(x2),
+                           jnp.asarray(inl))
+    np.testing.assert_allclose(np.asarray(R), R_cv, atol=2e-2)
+    np.testing.assert_allclose(np.abs(np.asarray(t)), np.abs(t_cv.ravel()),
+                               atol=5e-2)
 
 
 def test_mono_skip_cause_surface():
