@@ -8,8 +8,9 @@ when ``KITTI_ROOT`` points at a standard KITTI odometry layout::
     <root>/sequences/<seq>/calib.txt
     <root>/poses/<seq>.txt                 (ground truth, optional)
 
-PNG decoding uses cv2 if present, else a minimal pure-NumPy PNG reader is NOT
-attempted — the loader raises with a clear message.
+PNG decoding is NATIVE: the C++ frame loader (io/native/frameloader.cpp)
+decodes KITTI's 8-bit PNGs (zlib inflate + scanline filters) and prefetches
+them on a background thread — no cv2 anywhere in the dataset path.
 """
 
 from __future__ import annotations
@@ -75,11 +76,24 @@ def frame_paths(seq: str = "00"):
 
 
 def load_frame(path):
-    try:
-        import cv2
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError("KITTI loading requires cv2 for PNG decode") from e
-    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
-    if img is None:
-        raise FileNotFoundError(path)
+    """Decode one KITTI frame with the native C++ decoder (grayscale)."""
+    from openvo_tpu.io.native_loader import decode_image
+
+    with open(path, "rb") as f:
+        img = decode_image(f.read())
+    if img.ndim == 3:  # RGB -> gray, BT.601 like cv2.IMREAD_GRAYSCALE
+        img = np.clip(np.round(
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        ), 0, 255).astype(np.uint8)
     return img
+
+
+def frame_stream(seq: str = "00", ring_capacity: int = 4):
+    """Prefetching (left, right) uint8 frame iterator over a sequence —
+    disk IO + PNG decode overlap TPU compute via the C++ ring."""
+    from openvo_tpu.io.native_loader import FrameLoader
+
+    lefts, rights = frame_paths(seq)
+    lt = FrameLoader(lefts, ring_capacity)
+    rt = FrameLoader(rights, ring_capacity)
+    return zip(lt, rt)

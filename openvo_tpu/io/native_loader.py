@@ -27,7 +27,7 @@ def _build():
     os.makedirs(_LIB_DIR, exist_ok=True)
     subprocess.run(
         ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
-         "-o", _LIB, "-lpthread"],
+         "-o", _LIB, "-lpthread", "-lz"],
         check=True, capture_output=True,
     )
 
@@ -59,6 +59,8 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
             ]
+            lib.decode_image_buffer.restype = ctypes.c_int
+            lib.decode_image_buffer.argtypes = lib.decode_pnm_buffer.argtypes
             _lib = lib
     return _lib
 
@@ -78,6 +80,38 @@ def decode_pnm(data: bytes) -> np.ndarray:
     )
     if not ok:
         raise ValueError("not a valid 8-bit P5/P6 PNM buffer")
+    n = w.value * h.value * c.value
+    img = out[:n]
+    if c.value == 1:
+        return img.reshape(h.value, w.value).copy()
+    return img.reshape(h.value, w.value, c.value).copy()
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode a PNG (8-bit gray/RGB/RGBA, non-interlaced — the KITTI
+    format) or PGM/PPM buffer to (H, W) or (H, W, 3) uint8, using the
+    native C++ decoder (no cv2)."""
+    lib = get_lib()
+    if data[:4] == b"\x89PNG":
+        # Size the output exactly from the IHDR (w, h at offsets 16/20).
+        w0 = int.from_bytes(data[16:20], "big")
+        h0 = int.from_bytes(data[20:24], "big")
+        ctype = data[25]
+        ch = {0: 1, 2: 3, 6: 3}.get(ctype, 3)
+        cap = max(w0 * h0 * ch, 1)
+    else:
+        cap = len(data)  # PNM payload is never larger than the file
+    out = np.empty(cap, np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    ok = lib.decode_image_buffer(
+        buf, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap, ctypes.byref(w), ctypes.byref(h), ctypes.byref(c),
+    )
+    if not ok:
+        raise ValueError("not a decodable 8-bit PNG/PNM buffer")
     n = w.value * h.value * c.value
     img = out[:n]
     if c.value == 1:
