@@ -37,6 +37,7 @@ MIN_VALID_DISPARITY=4 band excludes (stereo_odometer.py:6-7,38-41).
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -352,61 +353,106 @@ def _lr_check(S, best_left, params: SGBMParams):
     return ok
 
 
+_LBIG = 1.0e9  # label infinity (labels are exact f32 ints < 2^24)
+
+
+def _shift_fill(a, k, axis, fill):
+    """jnp.roll with the wrapped region overwritten by ``fill``.
+
+    ``k`` may be a traced scalar (dynamic roll shift): the loops below run
+    under lax.while_loop so the whole filter compiles to a handful of XLA
+    ops instead of an unrolled log2(n)-step graph (which made the eager
+    test path dispatch ~1500 ops through the device tunnel)."""
+    out = jnp.roll(a, k, axis=axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
+    return jnp.where(
+        jnp.where(k > 0, idx < k, idx >= a.shape[axis] + k), fill, out)
+
+
+def _run_min(lab, conn_pred, axis):
+    """Min label over each connected RUN along ``axis`` (both directions),
+    via Hillis-Steele segmented-scan doubling: step k merges m[x] with
+    m[x-k] when the whole span is connected; the span mask doubles with
+    c_2k[x] = c_k[x] & c_k[x-k]. Pure roll/min/where on the VPU — no
+    gathers. ``conn_pred[.., x]`` = pixel connected to its predecessor."""
+    n = lab.shape[axis]
+
+    def sweep(m, c, sign):
+        def body(carry):
+            m, c, k = carry
+            m = jnp.where(
+                c, jnp.minimum(m, _shift_fill(m, sign * k, axis, _LBIG)), m)
+            c = c & _shift_fill(c, sign * k, axis, False)
+            return m, c, k * 2
+
+        def cond(carry):
+            return carry[2] < n
+
+        m, _, _ = jax.lax.while_loop(
+            cond, body, (m, c, jnp.asarray(1, jnp.int32)))
+        return m
+
+    m = sweep(lab, conn_pred, 1)
+    return sweep(m, _shift_fill(conn_pred, -1, axis, False), -1)
+
+
 def _speckle_filter(disp16, valid, params: SGBMParams):
-    """Connected-component speckle rejection via pointer-jumping labels."""
+    """Connected-component speckle rejection (cv2.filterSpeckles semantics:
+    4-connected components of |d1-d2| <= 16*speckleRange with <=
+    speckleWindowSize pixels are invalidated).
+
+    TPU-native labeling: alternating row/column segmented min-scans
+    (gather-free label propagation; one alternation fully resolves every
+    straight run, so staircase-shaped components converge in a handful of
+    rounds), finished with two pointer-jump rounds that path-compress any
+    remaining serpentine components. Only 5 indexed ops total (4 jump
+    gathers + 1 size histogram) vs the 33 of the round-2 pointer-jump-only
+    loop, which was ~107 ms/frame at KITTI resolution."""
     H, W = disp16.shape
     max_diff = 16 * params.speckle_range
     n = H * W
-    d = disp16.reshape(-1)
-    v = valid.reshape(-1)
-    labels = jnp.arange(n, dtype=jnp.int32)
 
-    idx = labels.reshape(H, W)
+    d = disp16
+    # Connectivity to the predecessor along each axis; invalid pixels are
+    # singletons (no edges at all).
+    conn_x = (jnp.abs(d - _shift_fill(d, 1, 1, 1 << 20)) <= max_diff)
+    conn_y = (jnp.abs(d - _shift_fill(d, 1, 0, 1 << 20)) <= max_diff)
+    conn_x &= valid & _shift_fill(valid, 1, 1, False)
+    conn_y &= valid & _shift_fill(valid, 1, 0, False)
 
-    def neighbor_min(lab):
-        L = lab.reshape(H, W)
-        dd = disp16
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+           + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
+    labels = idx.astype(jnp.float32)  # n < 2^24: exact in f32
+    for _ in range(4):
+        labels = _run_min(labels, conn_x, axis=1)
+        labels = _run_min(labels, conn_y, axis=0)
 
-        def take(shifted_lab, shifted_d, ok_region):
-            same = (jnp.abs(dd - shifted_d) <= max_diff) & ok_region
-            return jnp.where(same, shifted_lab, L)
-
-        big = jnp.int32(n)
-        up_l = jnp.pad(L, ((1, 0), (0, 0)), constant_values=big)[:-1]
-        up_d = jnp.pad(dd, ((1, 0), (0, 0)), constant_values=-(1 << 20))[:-1]
-        dn_l = jnp.pad(L, ((0, 1), (0, 0)), constant_values=big)[1:]
-        dn_d = jnp.pad(dd, ((0, 1), (0, 0)), constant_values=-(1 << 20))[1:]
-        lf_l = jnp.pad(L, ((0, 0), (1, 0)), constant_values=big)[:, :-1]
-        lf_d = jnp.pad(dd, ((0, 0), (1, 0)), constant_values=-(1 << 20))[:, :-1]
-        rt_l = jnp.pad(L, ((0, 0), (0, 1)), constant_values=big)[:, 1:]
-        rt_d = jnp.pad(dd, ((0, 0), (0, 1)), constant_values=-(1 << 20))[:, 1:]
-
-        m = L
-        m = jnp.minimum(m, take(up_l, up_d, jnp.ones_like(valid)))
-        m = jnp.minimum(m, take(dn_l, dn_d, jnp.ones_like(valid)))
-        m = jnp.minimum(m, take(lf_l, lf_d, jnp.ones_like(valid)))
-        m = jnp.minimum(m, take(rt_l, rt_d, jnp.ones_like(valid)))
-        m = jnp.where(valid, m, idx)  # invalid pixels stay singleton
-        return m.reshape(-1)
-
-    def body(_, lab):
-        lab = neighbor_min(lab)
-        lab = jnp.take(lab, lab)  # pointer jump
+    # Mop-up for serpentine components the scans haven't merged: pointer
+    # jumping doubles the resolved path length per round.
+    lab = labels.astype(jnp.int32).reshape(-1)
+    for _ in range(2):
         lab = jnp.take(lab, lab)
-        return lab
+        lab = jnp.take(lab, lab)
+        l2 = lab.reshape(H, W).astype(jnp.float32)
+        l2 = _run_min(l2, conn_x, axis=1)
+        l2 = _run_min(l2, conn_y, axis=0)
+        lab = l2.astype(jnp.int32).reshape(-1)
 
-    # log2(diameter) pointer jumps; 16 rounds cover diameters up to ~2^16.
-    labels = jax.lax.fori_loop(0, 16, body, labels)
-
-    sizes = jnp.zeros((n,), jnp.int32).at[labels].add(jnp.where(v, 1, 0))
-    comp_size = jnp.take(sizes, labels).reshape(H, W)
+    sizes = jnp.zeros((n,), jnp.int32).at[lab].add(
+        jnp.where(valid.reshape(-1), 1, 0))
+    comp_size = jnp.take(sizes, lab).reshape(H, W)
     keep = comp_size > params.speckle_window_size
     return valid & keep
 
 
+@functools.partial(jax.jit, static_argnums=2)
 def sgbm_disparity16(left, right, params: SGBMParams):
     """Full SGBM pipeline -> int16-grid disparity (x16) with invalid =
-    (minDisparity - 1) * 16, exactly the contract of cv2.StereoSGBM.compute."""
+    (minDisparity - 1) * 16, exactly the contract of cv2.StereoSGBM.compute.
+
+    jitted with static ``params`` (a frozen dataclass): eager callers get
+    ONE device dispatch per frame instead of per-op round-trips; inside an
+    outer jit the call inlines as usual."""
     cap = max(params.pre_filter_cap, 15) | 1
     with jax.named_scope("sgbm_prefilter"):
         lp = prefilter_xsobel(left, cap)
@@ -456,6 +502,7 @@ def _finalize(disp16, valid, params: SGBMParams):
     return jnp.where(valid, disp16, invalid_val).astype(jnp.int16)
 
 
+@functools.partial(jax.jit, static_argnums=2)
 def sgbm_disparity(left, right, params: SGBMParams):
     """Float disparity in pixels: int16 grid / 16 (reference
     stereo_camera.py:51)."""
