@@ -155,6 +155,31 @@ def harris_response(img_f32, block_size: int = 7, k: float = 0.04):
     return det - k * tr * tr
 
 
+def _topk_flat(flat, k):
+    """Exact top-k over a flat array, TPU-shaped: reshape to (G, m) rows,
+    per-row lax.top_k(k), then lax.top_k over the G*k candidates. A single
+    flat lax.top_k sorts the whole array (~n log n serial work on TPU);
+    the two-stage form sorts G short rows batched on the VPU instead.
+
+    EXACT drop-in for ``lax.top_k(flat, k)`` including tie-breaking:
+    groups partition ascending index ranges and per-row top_k prefers the
+    lower index on ties, so the candidate array lists any two tied
+    elements in ascending original-index order, and an element crowded
+    out of its row's top-k loses only to k elements that flat top_k
+    would also have preferred."""
+    n = flat.shape[0]
+    G = 256
+    m = -(-n // G)
+    if k >= m or n < 4096:
+        return jax.lax.top_k(flat, k)
+    pad = G * m - n
+    rows = jnp.pad(flat, (0, pad), constant_values=-jnp.inf).reshape(G, m)
+    rv, ri = jax.lax.top_k(rows, k)
+    gi = ri + jnp.arange(G, dtype=jnp.int32)[:, None] * m
+    fv, fi = jax.lax.top_k(rv.reshape(-1), k)
+    return fv, jnp.take(gi.reshape(-1), fi)
+
+
 def _nms3x3(score):
     """3x3 non-max suppression: keep pixels equal to their neighborhood max."""
     H, W = score.shape
@@ -196,12 +221,12 @@ def _detect_level(img_l, mask_l, k_level, params: ORBParams):
     resp = harris_response(img_l)
     if not params.cv2_ranking:
         flat = jnp.where(corner, resp, -jnp.inf).reshape(-1)
-        top_vals, top_idx = jax.lax.top_k(flat, k_level)
+        top_vals, top_idx = _topk_flat(flat, k_level)
     else:
         # Stage 1: best 2k by FAST score (cv2's pre-Harris retainBest).
         k2 = min(2 * k_level, H * W)
         flat_fast = jnp.where(corner, score, -jnp.inf).reshape(-1)
-        fast_vals, fast_idx = jax.lax.top_k(flat_fast, k2)
+        fast_vals, fast_idx = _topk_flat(flat_fast, k2)
         # Stage 2: among those, best k by Harris response.
         resp_at = jnp.where(jnp.isfinite(fast_vals),
                             jnp.take(resp.reshape(-1), fast_idx), -jnp.inf)

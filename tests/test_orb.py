@@ -175,3 +175,25 @@ def test_keypoints_respect_min_count_on_blank_image():
     p = ORBParams(nfeatures=100, max_keypoints=128)
     out = detect_and_compute(img, None, p)
     assert int(np.asarray(out["valid"]).sum()) == 0
+
+
+def test_topk_flat_matches_lax_topk_with_ties():
+    """The two-stage top-k (per-row lax.top_k then a candidate top-k) must
+    be an EXACT drop-in for flat lax.top_k, including tie-breaking by
+    lowest index — corner scores are small integers, so ties are the
+    common case."""
+    import jax
+    import jax.numpy as jnp
+
+    from openvo_tpu.ops.orb import _topk_flat
+
+    rng = np.random.default_rng(7)
+    for n, k in [(20000, 32), (120000, 64), (3000, 16)]:
+        x = np.full(n, -np.inf, np.float32)
+        hot = rng.random(n) < 0.05
+        x[hot] = rng.integers(0, 30, hot.sum()).astype(np.float32)
+        xj = jnp.asarray(x)
+        v1, i1 = jax.jit(lambda v: jax.lax.top_k(v, k))(xj)
+        v2, i2 = jax.jit(lambda v: _topk_flat(v, k))(xj)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
