@@ -9,24 +9,52 @@ publishes no numbers - BASELINE.md).
 
 Method: a synthetic corridor sequence at KITTI resolution (1242x376, 128
 disparities, 500 ORB features) is uploaded to the device once; the full
-jitted odometer step (rectify -> SGBM -> reproject -> ORB -> match -> Kabsch
--> gates -> pose chain) runs as a device-side lax.scan over the frames, i.e.
-streaming VO with zero host round-trips — BASELINE config 2's "jit-fused
-frame-to-frame tracking loop".
+jitted odometer pipeline (rectify -> SGBM -> reproject -> ORB -> match ->
+Kabsch -> gates -> pose chain) runs with zero host round-trips — BASELINE
+config 2's "jit-fused frame-to-frame tracking loop". Two execution shapes
+are timed:
+ - throughput (headline): batched feature extraction (the per-frame,
+   state-independent 95% of the work: SGBM/ORB/reproject, batch-gridded
+   Pallas kernels) + a lax.scan of the sequential match/pose state machine
+   over the extracted features. Bit-identical trajectory to sequential
+   stepping; this is simply the execution shape that fills the chip.
+ - latency: the strict frame-at-a-time lax.scan of the full step
+   (causal per-frame latency), reported as latency_fps.
+
+Robustness: each config runs in a SUBPROCESS with its own timeout (a cold
+XLA/Mosaic compile on the remote-compile terminal can take many minutes;
+a wedged pass must not prevent the JSON line). The parent never imports
+jax. Run `python bench.py --one <tag>` manually to reproduce one config.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+TARGET_FPS = 500.0
+IMG_SIZE = (1242, 376)   # KITTI odometry gray resolution
+F, B = 718.0, 0.54       # KITTI-like focal length / baseline
+N_FRAMES = 16
+SGBM = {
+    "minDisparity": 0, "numDisparities": 128, "blockSize": 5,
+    "P1": 200, "P2": 800, "disp12MaxDiff": 1, "preFilterCap": 63,
+    "uniquenessRatio": 10, "speckleWindowSize": 0, "speckleRange": 0,
+}
+# The KITTI loader's shipped defaults enable speckle (io/kitti.py);
+# the bench reports BOTH paths (VERDICT r2 item 5).
+SGBM_SPECKLE = dict(SGBM, speckleWindowSize=100, speckleRange=2)
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def run_one(tag: str):
+    """Run one bench config on the TPU; prints a JSON result line."""
     import jax
     import jax.numpy as jnp
 
@@ -37,18 +65,9 @@ def main():
     from openvo_tpu import OdometerConfig, StereoCamera
     from openvo_tpu.io.synthetic import render_stereo_sequence
     from openvo_tpu.models.stereo_odometer import init_state, make_step
+    from openvo_tpu.parallel.stream import make_stream_fn
 
-    IMG_SIZE = (1242, 376)   # KITTI odometry gray resolution
-    F, B = 718.0, 0.54       # KITTI-like focal length / baseline
-    N_FRAMES = 16
-    SGBM = {
-        "minDisparity": 0, "numDisparities": 128, "blockSize": 5,
-        "P1": 200, "P2": 800, "disp12MaxDiff": 1, "preFilterCap": 63,
-        "uniquenessRatio": 10, "speckleWindowSize": 0, "speckleRange": 0,
-    }
-    # The KITTI loader's shipped defaults enable speckle (io/kitti.py);
-    # the bench reports BOTH paths (VERDICT r2 item 5).
-    SGBM_SPECKLE = dict(SGBM, speckleWindowSize=100, speckleRange=2)
+    sgbm_dict = {"speckle-off": SGBM, "speckle-on": SGBM_SPECKLE}[tag]
 
     log(f"devices: {jax.devices()}")
     t0 = time.time()
@@ -59,70 +78,120 @@ def main():
     cfg = OdometerConfig()
     lefts = jnp.asarray(np.clip(seq["left"], 0, 255).astype(np.uint8))
     rights = jnp.asarray(np.clip(seq["right"], 0, 255).astype(np.uint8))
+    cam = StereoCamera(seq["K"], seq["dist"], seq["K"], seq["dist"],
+                       {"R": seq["R"], "T": seq["T"]}, sgbm_dict, IMG_SIZE)
 
-    def bench_config(sgbm_dict, tag):
-        cam = StereoCamera(seq["K"], seq["dist"], seq["K"], seq["dist"],
-                           {"R": seq["R"], "T": seq["T"]}, sgbm_dict,
-                           IMG_SIZE)
-        step = make_step(cam, cfg, color=False)
-
-        def run(state, ls, rs):
-            def body(s, lr):
-                s2, ok, _ = step(s, lr[0], lr[1])
-                return s2, (ok, s2.c_T_w)
-            return jax.lax.scan(body, state, (ls, rs))
-
-        run_j = jax.jit(run, donate_argnums=(0,))
-
-        state = init_state(cam.cropped_shape, cfg.orb.max_keypoints)
+    def time_passes(run_fn, mk_state, label):
         t0 = time.time()
-        state, (oks, c_T_w) = run_j(state, lefts, rights)
+        state, (oks, c_T_w) = run_fn(mk_state(), lefts, rights)
         tracked = int(np.asarray(oks).sum())
-        log(f"[{tag}] compile+first run: {time.time()-t0:.1f}s, tracked "
-            f"{tracked}/{N_FRAMES}")
-
-        # Accuracy (VERDICT r1: throughput and ATE measured together).
+        log(f"[{label}] compile+first run: {time.time()-t0:.1f}s, "
+            f"tracked {tracked}/{N_FRAMES}")
         poses = np.linalg.inv(np.asarray(c_T_w, np.float64))
         gt = np.asarray(seq["T_wc"], np.float64)
         ate = float(np.mean(np.linalg.norm(
             poses[:, :3, 3] - gt[:N_FRAMES, :3, 3], axis=1)))
         path_len = 0.5 * (N_FRAMES - 1)
-        log(f"[{tag}] ATE {ate:.3f} m over {path_len:.1f} m path "
+        log(f"[{label}] ATE {ate:.3f} m over {path_len:.1f} m path "
             f"({100 * ate / path_len:.1f}%)")
-
-        # Steady state: several timed passes over the resident frames.
         # block_until_ready is a no-op through the axon tunnel, so each
         # timed pass ends with an EXPLICIT host fetch of a scalar that
         # depends on the whole pass (tunnel-proof sync, VERDICT r2).
         best = float("inf")
         for it in range(3):
-            state = init_state(cam.cropped_shape, cfg.orb.max_keypoints)
             t0 = time.time()
-            state, (oks, _) = run_j(state, lefts, rights)
+            _, (oks, _) = run_fn(mk_state(), lefts, rights)
             n_ok = int(np.asarray(oks.sum()))  # host fetch = hard sync
             dt = time.time() - t0
             best = min(best, dt)
-            log(f"[{tag}] pass {it}: {dt*1000:.1f} ms for {N_FRAMES} "
+            log(f"[{label}] pass {it}: {dt*1000:.1f} ms for {N_FRAMES} "
                 f"frames ({N_FRAMES/dt:.1f} fps, {n_ok} ok)")
         return N_FRAMES / best, tracked, ate, path_len
 
-    fps, tracked, ate, path_len = bench_config(SGBM, "speckle-off")
-    fps_on, tracked_on, ate_on, _ = bench_config(SGBM_SPECKLE, "speckle-on")
+    def mk_state():
+        return init_state(cam.cropped_shape, cfg.orb.max_keypoints)
 
-    print(json.dumps({
+    # Throughput shape (headline): batched extract + scanned state machine.
+    stream = jax.jit(make_stream_fn(cam, cfg, color=False),
+                     donate_argnums=(0,))
+    fps, tracked, ate, path_len = time_passes(stream, mk_state, f"{tag}/tp")
+
+    # Latency shape: strict frame-at-a-time scan of the full step.
+    step = make_step(cam, cfg, color=False)
+
+    def run_seq(state, ls, rs):
+        def body(s, lr):
+            s2, ok, _ = step(s, lr[0], lr[1])
+            return s2, (ok, s2.c_T_w)
+        return jax.lax.scan(body, state, (ls, rs))
+
+    run_seq_j = jax.jit(run_seq, donate_argnums=(0,))
+    lat_fps, lat_tracked, lat_ate, _ = time_passes(run_seq_j, mk_state,
+                                                   f"{tag}/lat")
+
+    print("BENCH_RESULT " + json.dumps({
+        "tag": tag, "fps": fps, "tracked": tracked, "ate": ate,
+        "path_len": path_len, "latency_fps": lat_fps,
+        "latency_tracked": lat_tracked,
+    }), flush=True)
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        run_one(sys.argv[2])
+        return
+
+    # Parent: orchestrate subprocess per config; never imports jax.
+    results = {}
+    budget = {"speckle-off": int(os.environ.get("BENCH_TIMEOUT_OFF", 1750)),
+              "speckle-on": int(os.environ.get("BENCH_TIMEOUT_ON", 1500))}
+    for tag in ("speckle-off", "speckle-on"):
+        t0 = time.time()
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", tag],
+                stdout=subprocess.PIPE, stderr=sys.stderr,
+                timeout=budget[tag], text=True)
+            for line in p.stdout.splitlines():
+                if line.startswith("BENCH_RESULT "):
+                    results[tag] = json.loads(line[len("BENCH_RESULT "):])
+        except subprocess.TimeoutExpired:
+            log(f"[{tag}] TIMED OUT after {time.time()-t0:.0f}s — skipped")
+        if tag not in results:
+            log(f"[{tag}] no result")
+
+    off = results.get("speckle-off")
+    on = results.get("speckle-on")
+    if off is None:
+        # Primary config failed: still print a parseable line.
+        print(json.dumps({
+            "metric": "stereo_vo_throughput_kitti_res", "value": 0.0,
+            "unit": "frames/sec/chip", "vs_baseline": 0.0,
+            "error": "speckle-off bench did not complete",
+        }))
+        return
+
+    out = {
         "metric": "stereo_vo_throughput_kitti_res",
-        "value": round(fps, 2),
+        "value": round(off["fps"], 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / 500.0, 4),
-        "tracked_frames": tracked,
+        "vs_baseline": round(off["fps"] / TARGET_FPS, 4),
+        "tracked_frames": off["tracked"],
         "total_frames": N_FRAMES,
-        "ate_m": round(ate, 4),
-        "ate_pct_of_path": round(100 * ate / path_len, 2),
-        "speckle_off_fps": round(fps, 2),
-        "speckle_on_fps": round(fps_on, 2),
-        "speckle_on_tracked": tracked_on,
-        "speckle_on_ate_m": round(ate_on, 4),
-    }))
+        "ate_m": round(off["ate"], 4),
+        "ate_pct_of_path": round(100 * off["ate"] / off["path_len"], 2),
+        "latency_fps": round(off["latency_fps"], 2),
+        "speckle_off_fps": round(off["fps"], 2),
+    }
+    if on is not None:
+        out.update({
+            "speckle_on_fps": round(on["fps"], 2),
+            "speckle_on_tracked": on["tracked"],
+            "speckle_on_ate_m": round(on["ate"], 4),
+        })
+    else:
+        out["speckle_on_fps"] = None
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

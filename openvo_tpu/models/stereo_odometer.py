@@ -204,20 +204,18 @@ def make_pipeline_fns(camera, cfg: OdometerConfig, color: bool):
         "point_clouds": point_clouds,
         "point_cloud_transform": point_cloud_transform,
         "attempt": attempt,
+        "step_feats": make_feats_step(cfg, attempt),
     }
 
 
-def make_step(camera, cfg: OdometerConfig, color: bool):
-    """Build the pure step function (state, imgL, imgR) -> (state', ok, stats).
+def make_feats_step(cfg: OdometerConfig, attempt):
+    """The state-machine half of the odometer step, taking precomputed
+    FrameFeatures instead of raw images. Factored out of make_step so
+    throughput pipelines (parallel/stream.py) can batch the state-free
+    extraction and scan only this sequential part — the trajectory is
+    identical to frame-at-a-time stepping by construction."""
 
-    ``camera`` is a StereoCamera; its maps/Q/SGBM params are closed over and
-    baked into the compiled program as constants.
-    """
-    fns = make_pipeline_fns(camera, cfg, color)
-    extract, attempt = fns["extract"], fns["attempt"]
-
-    def step(state: OdomState, img_left, img_right):
-        feats = extract(img_left, img_right)
+    def step_feats(state: OdomState, feats: FrameFeatures):
         n_kps = jnp.sum(feats.kp_valid.astype(jnp.int32))
         few_kps = n_kps < cfg.min_matches
         first = ~state.has_cur
@@ -290,6 +288,21 @@ def make_step(camera, cfg: OdometerConfig, color: bool):
             "skip_code": new_state.skip_code,
         }
         return new_state, success, stats
+
+    return step_feats
+
+
+def make_step(camera, cfg: OdometerConfig, color: bool):
+    """Build the pure step function (state, imgL, imgR) -> (state', ok, stats).
+
+    ``camera`` is a StereoCamera; its maps/Q/SGBM params are closed over and
+    baked into the compiled program as constants.
+    """
+    fns = make_pipeline_fns(camera, cfg, color)
+    extract, step_feats = fns["extract"], fns["step_feats"]
+
+    def step(state: OdomState, img_left, img_right):
+        return step_feats(state, extract(img_left, img_right))
 
     return step
 

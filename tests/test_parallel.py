@@ -236,3 +236,37 @@ def test_sharded_equals_unsharded_trajectory():
         env=_cpu_mesh_env(), capture_output=True, text=True, timeout=3000,
     )
     assert "VALUES_MATCH" in out.stdout, out.stdout + out.stderr
+
+
+def test_stream_equals_sequential_stepping():
+    """Throughput shape (parallel/stream.py): batched extract + scanned
+    state machine must produce the SAME success flags and pose chain as
+    frame-at-a-time make_step stepping — the stream is an execution-shape
+    change only (bench.py headline path)."""
+    from openvo_tpu.models.stereo_odometer import init_state, make_step
+    from openvo_tpu.parallel.stream import make_stream_fn
+
+    seq, cam, cfg = small_setup(5)
+    lefts = jnp.asarray(np.clip(seq["left"], 0, 255).astype(np.uint8))
+    rights = jnp.asarray(np.clip(seq["right"], 0, 255).astype(np.uint8))
+
+    step = make_step(cam, cfg, color=False)
+
+    def run_seq(state, ls, rs):
+        def body(s, lr):
+            s2, ok, _ = step(s, lr[0], lr[1])
+            return s2, (ok, s2.c_T_w)
+        return jax.lax.scan(body, state, (ls, rs))
+
+    def mk_state():
+        return init_state(cam.cropped_shape, cfg.orb.max_keypoints)
+
+    _, (ok_ref, traj_ref) = jax.jit(run_seq)(mk_state(), lefts, rights)
+
+    for chunk in (None, 5, 1):
+        stream = jax.jit(make_stream_fn(cam, cfg, color=False, chunk=chunk))
+        _, (ok, traj) = stream(mk_state(), lefts, rights)
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
+        np.testing.assert_allclose(np.asarray(traj), np.asarray(traj_ref),
+                                   atol=1e-5, err_msg=f"chunk={chunk}")
+    assert np.asarray(ok_ref).all()
