@@ -118,26 +118,35 @@ def fast_score(img_f32, threshold: float):
     """FAST-9/16 score map: max over arc starts of min margin over the arc.
 
     Returns (score, corner_mask); a pixel is a corner iff score > threshold.
+
+    The 16 circle neighbors are kept as a PYTHON list of (H, W) slices and
+    the circular log-folding (min over 9 contiguous pixels = 3 doubling
+    passes + one +8 fold) rotates the list by Python indexing — the stacked
+    (16, H, W) tensor + axis-0 jnp.rolls of an earlier version forced XLA
+    to materialize whole-stack intermediates (hundreds of MB per frame once
+    the stream path vmaps this over a frame batch); slice lists fuse into
+    flat elementwise chains instead.
     """
     H, W = img_f32.shape
     pad = jnp.pad(img_f32, 3, mode="edge")
-    neigh = jnp.stack(
-        [pad[3 + dy : 3 + dy + H, 3 + dx : 3 + dx + W] for dx, dy in FAST_CIRCLE],
-        axis=0,
-    )  # (16, H, W)
-    bright = neigh - img_f32[None]  # margin if brighter
-    dark = img_f32[None] - neigh    # margin if darker
+    neigh = [pad[3 + dy : 3 + dy + H, 3 + dx : 3 + dx + W]
+             for dx, dy in FAST_CIRCLE]
 
     def arc_score(m):
-        # min over 9 contiguous circle pixels for each of the 16 starts,
-        # via log-folding over the circular axis (4 fold passes instead of
-        # 16x9 pairwise mins), then max over starts.
-        m2 = jnp.minimum(m, jnp.roll(m, -1, axis=0))
-        m4 = jnp.minimum(m2, jnp.roll(m2, -2, axis=0))
-        m8 = jnp.minimum(m4, jnp.roll(m4, -4, axis=0))
-        m9 = jnp.minimum(m8, jnp.roll(m, -8, axis=0))
-        return jnp.max(m9, axis=0)
+        # min over 9 contiguous circle pixels for each of the 16 starts:
+        # m2[k] = min(m[k], m[k+1]), m4 = min over 4, m8 = min over 8,
+        # m9[k] = min(m8[k], m[k+8]); rotation is list reindexing (free).
+        m2 = [jnp.minimum(m[k], m[(k + 1) % 16]) for k in range(16)]
+        m4 = [jnp.minimum(m2[k], m2[(k + 2) % 16]) for k in range(16)]
+        m8 = [jnp.minimum(m4[k], m4[(k + 4) % 16]) for k in range(16)]
+        m9 = [jnp.minimum(m8[k], m[(k + 8) % 16]) for k in range(16)]
+        out = m9[0]
+        for k in range(1, 16):
+            out = jnp.maximum(out, m9[k])
+        return out
 
+    bright = [n - img_f32 for n in neigh]
+    dark = [img_f32 - n for n in neigh]
     score = jnp.maximum(arc_score(bright), arc_score(dark))
     return score, score > threshold
 
