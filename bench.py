@@ -115,6 +115,13 @@ def run_one(tag: str):
     stream = jax.jit(make_stream_fn(cam, cfg, color=False),
                      donate_argnums=(0,))
     fps, tracked, ate, path_len = time_passes(stream, mk_state, f"{tag}/tp")
+    # Partial result line FIRST: if the latency-shape compile below blows
+    # the subprocess budget (a chip claim-wedge can eat most of it), the
+    # parent still harvests the headline number from the killed child.
+    print("BENCH_PARTIAL " + json.dumps({
+        "tag": tag, "fps": fps, "tracked": tracked, "ate": ate,
+        "path_len": path_len,
+    }), flush=True)
 
     # Latency shape: strict frame-at-a-time scan of the full step.
     step = make_step(cam, cfg, color=False)
@@ -147,16 +154,25 @@ def main():
               "speckle-on": int(os.environ.get("BENCH_TIMEOUT_ON", 1500))}
     for tag in ("speckle-off", "speckle-on"):
         t0 = time.time()
+        out_text = ""
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", tag],
                 stdout=subprocess.PIPE, stderr=sys.stderr,
                 timeout=budget[tag], text=True)
-            for line in p.stdout.splitlines():
-                if line.startswith("BENCH_RESULT "):
-                    results[tag] = json.loads(line[len("BENCH_RESULT "):])
-        except subprocess.TimeoutExpired:
-            log(f"[{tag}] TIMED OUT after {time.time()-t0:.0f}s — skipped")
+            out_text = p.stdout or ""
+        except subprocess.TimeoutExpired as e:
+            log(f"[{tag}] TIMED OUT after {time.time()-t0:.0f}s")
+            out = e.stdout or b""
+            out_text = out.decode() if isinstance(out, bytes) else out
+        # Prefer the full result; fall back to the partial (headline
+        # throughput measured before a timed-out latency-shape compile).
+        for key in ("BENCH_RESULT ", "BENCH_PARTIAL "):
+            for line in out_text.splitlines():
+                if line.startswith(key):
+                    results[tag] = json.loads(line[len(key):])
+            if tag in results:
+                break
         if tag not in results:
             log(f"[{tag}] no result")
 
@@ -180,7 +196,8 @@ def main():
         "total_frames": N_FRAMES,
         "ate_m": round(off["ate"], 4),
         "ate_pct_of_path": round(100 * off["ate"] / off["path_len"], 2),
-        "latency_fps": round(off["latency_fps"], 2),
+        "latency_fps": (round(off["latency_fps"], 2)
+                        if "latency_fps" in off else None),
         "speckle_off_fps": round(off["fps"], 2),
     }
     if on is not None:

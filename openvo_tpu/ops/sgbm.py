@@ -362,6 +362,7 @@ def _shift_fill(a, k, axis, fill):
     VPU, and the unrolled log2(n)-step doubling graph compiles in seconds
     (a while_loop variant with traced shifts compiled for ~18 MINUTES at
     KITTI size inside the scanned odometer step and ran ~10x slower)."""
+    axis = axis % a.ndim
     out = jnp.roll(a, k, axis=axis)
     idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
     bad = idx < k if k > 0 else idx >= a.shape[axis] + k
@@ -389,6 +390,56 @@ def _run_min(lab, conn_pred, axis):
     return sweep(m, _shift_fill(conn_pred, -1, axis, False), -1)
 
 
+def _speckle_filter_batched(disp16, valid, params: SGBMParams):
+    """Batched core of :func:`_speckle_filter` over (B, H, W) stacks.
+
+    The scan stages (rolls/mins) batch transparently; the pointer-jump
+    gathers and the size histogram run on GLOBALLY-OFFSET flat labels
+    (frame b's labels live in [b*n, (b+1)*n)), so the whole batch is ONE
+    flat 1-D gather/scatter — the shape XLA:TPU lowers well. A vmapped 1-D
+    gather (batch dims on both operand and indices) is a compile-time bomb
+    on TPU: vmap x4 of the single-frame filter exceeded a 600 s compile
+    budget while this flat form compiles in seconds (measured, round 3).
+    Labels stay frame-local (< 2^24, exact f32) in the scan stages; only
+    the flat gathers use the int32 global offsets."""
+    B, H, W = disp16.shape
+    max_diff = 16 * params.speckle_range
+    n = H * W
+
+    d = disp16
+    # Connectivity to the predecessor along each axis; invalid pixels are
+    # singletons (no edges at all).
+    conn_x = (jnp.abs(d - _shift_fill(d, 1, -1, 1 << 20)) <= max_diff)
+    conn_y = (jnp.abs(d - _shift_fill(d, 1, -2, 1 << 20)) <= max_diff)
+    conn_x &= valid & _shift_fill(valid, 1, -1, False)
+    conn_y &= valid & _shift_fill(valid, 1, -2, False)
+
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+           + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
+    labels = jnp.broadcast_to(idx.astype(jnp.float32), (B, H, W))
+    for _ in range(4):
+        labels = _run_min(labels, conn_x, axis=-1)
+        labels = _run_min(labels, conn_y, axis=-2)
+
+    # Mop-up for serpentine components the scans haven't merged: pointer
+    # jumping doubles the resolved path length per round.
+    offs = (jnp.arange(B, dtype=jnp.int32) * n)[:, None]
+    lab = (labels.astype(jnp.int32).reshape(B, n) + offs).reshape(-1)
+    for _ in range(2):
+        lab = jnp.take(lab, lab)
+        lab = jnp.take(lab, lab)
+        l2 = (lab.reshape(B, n) - offs).reshape(B, H, W)
+        l2 = _run_min(l2.astype(jnp.float32), conn_x, axis=-1)
+        l2 = _run_min(l2, conn_y, axis=-2)
+        lab = (l2.astype(jnp.int32).reshape(B, n) + offs).reshape(-1)
+
+    sizes = jnp.zeros((B * n,), jnp.int32).at[lab].add(
+        jnp.where(valid.reshape(-1), 1, 0))
+    comp_size = jnp.take(sizes, lab).reshape(B, H, W)
+    keep = comp_size > params.speckle_window_size
+    return valid & keep
+
+
 def _speckle_filter(disp16, valid, params: SGBMParams):
     """Connected-component speckle rejection (cv2.filterSpeckles semantics:
     4-connected components of |d1-d2| <= 16*speckleRange with <=
@@ -400,42 +451,25 @@ def _speckle_filter(disp16, valid, params: SGBMParams):
     rounds), finished with two pointer-jump rounds that path-compress any
     remaining serpentine components. Only 5 indexed ops total (4 jump
     gathers + 1 size histogram) vs the 33 of the round-2 pointer-jump-only
-    loop, which was ~107 ms/frame at KITTI resolution."""
-    H, W = disp16.shape
-    max_diff = 16 * params.speckle_range
-    n = H * W
+    loop, which was ~107 ms/frame at KITTI resolution.
 
-    d = disp16
-    # Connectivity to the predecessor along each axis; invalid pixels are
-    # singletons (no edges at all).
-    conn_x = (jnp.abs(d - _shift_fill(d, 1, 1, 1 << 20)) <= max_diff)
-    conn_y = (jnp.abs(d - _shift_fill(d, 1, 0, 1 << 20)) <= max_diff)
-    conn_x &= valid & _shift_fill(valid, 1, 1, False)
-    conn_y &= valid & _shift_fill(valid, 1, 0, False)
+    vmap (the batched-extract stream shape, the camera rig) routes through
+    a custom_vmap rule to the flat-global-index batched core — see
+    :func:`_speckle_filter_batched` for why."""
 
-    idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
-           + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
-    labels = idx.astype(jnp.float32)  # n < 2^24: exact in f32
-    for _ in range(4):
-        labels = _run_min(labels, conn_x, axis=1)
-        labels = _run_min(labels, conn_y, axis=0)
+    @jax.custom_batching.custom_vmap
+    def run(d, v):
+        return _speckle_filter_batched(d[None], v[None], params)[0]
 
-    # Mop-up for serpentine components the scans haven't merged: pointer
-    # jumping doubles the resolved path length per round.
-    lab = labels.astype(jnp.int32).reshape(-1)
-    for _ in range(2):
-        lab = jnp.take(lab, lab)
-        lab = jnp.take(lab, lab)
-        l2 = lab.reshape(H, W).astype(jnp.float32)
-        l2 = _run_min(l2, conn_x, axis=1)
-        l2 = _run_min(l2, conn_y, axis=0)
-        lab = l2.astype(jnp.int32).reshape(-1)
+    @run.def_vmap
+    def _rule(axis_size, in_batched, d, v):  # noqa: ANN001
+        if not in_batched[0]:
+            d = jnp.broadcast_to(d, (axis_size,) + d.shape)
+        if not in_batched[1]:
+            v = jnp.broadcast_to(v, (axis_size,) + v.shape)
+        return _speckle_filter_batched(d, v, params), True
 
-    sizes = jnp.zeros((n,), jnp.int32).at[lab].add(
-        jnp.where(valid.reshape(-1), 1, 0))
-    comp_size = jnp.take(sizes, lab).reshape(H, W)
-    keep = comp_size > params.speckle_window_size
-    return valid & keep
+    return run(disp16, valid)
 
 
 @functools.partial(jax.jit, static_argnums=2)
