@@ -183,7 +183,7 @@ _CG = 128  # columns per fused-kernel block: keeps every window slice static
 
 
 def _cost_sweep_kernel(*refs, nch_r, dd, w, min_disp, radius, sentinel,
-                       p1, p2, band_halo):
+                       p1, p2, band_halo, w_major, s1_bias):
     """refs = [3 left chunks] x3 images, [nch_r right chunks] x3 images,
     [edge flags if band_halo], c_out, s_out, carry. All window slices are
     STATIC: the reversed right image is chunk-aligned so column x's shear
@@ -206,7 +206,7 @@ def _cost_sweep_kernel(*refs, nch_r, dd, w, min_disp, radius, sentinel,
     def _init():
         carry_ref[...] = jnp.full(carry_ref.shape, BIG_F, jnp.float32)
 
-    h = c_out_ref.shape[0]
+    h = l_chunks[0][0].shape[0]  # image rows (c_out is (CG, h, D) w-major)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, dd), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
 
@@ -272,22 +272,38 @@ def _cost_sweep_kernel(*refs, nch_r, dd, w, min_disp, radius, sentinel,
         box = window[0]
         for s in window[1:]:
             box = box + s
-        # Reshape while still f32, then convert: Mosaic cannot shape-cast
-        # narrow-lane int16 vectors.
-        c_out_ref[:, jo:jo + 1, :] = box[:, None, :].astype(c_out_ref.dtype)
         L = _dir_update(carry_ref[0], box, lane, dd, p1, p2, BIG_F)
         carry_ref[0] = L
-        s_out_ref[:, jo:jo + 1, :] = L[:, None, :].astype(s_out_ref.dtype)
+        # biased-int16 encoding (s1_bias 0 = raw; skip the op to keep the
+        # default path's HLO — and its compile cache entries — unchanged)
+        s_enc = L - s1_bias if s1_bias else L
+        if w_major:
+            # (W, H, D) output layout: one aligned (H, D) tile-plane store
+            # per column (vs the (H, 1, D) single-sublane masked store of
+            # the h-major layout — the narrow-access pattern measured ~4.5x
+            # slower per sweep, exp_hsweep_layout).
+            c_out_ref[jo] = box.astype(c_out_ref.dtype)
+            s_out_ref[jo] = s_enc.astype(s_out_ref.dtype)
+        else:
+            # Reshape while still f32, then convert: Mosaic cannot
+            # shape-cast narrow-lane int16 vectors.
+            c_out_ref[:, jo:jo + 1, :] = (
+                box[:, None, :].astype(c_out_ref.dtype))
+            s_out_ref[:, jo:jo + 1, :] = (
+                s_enc[:, None, :].astype(s_out_ref.dtype))
 
 
 def cost_sweep_fused(lp, llo, lhi, rp, rlo, rhi, params, sentinel: int,
                      p1: float, p2: float, s1_dtype=jnp.int16,
-                     band_halo: int = 0, edge_flags=None):
+                     band_halo: int = 0, edge_flags=None,
+                     out_layout: str = "hwd", s1_bias: float = 0.0):
     """Fused cost volume + box sum + forward horizontal sweep.
 
     Inputs are x2-scaled 2D prefiltered images and their BT envelopes
-    (H, W) float32. Returns (C int16 (H, W, D), S1 (H, W, D)) on the exact
-    x2 grid. Only used inside the int16 sentinel envelope (the caller
+    (H, W) float32. Returns (C int16, S1) on the exact x2 grid — in
+    (H, W, D) layout by default, or (W, H, D) with ``out_layout="whd"``
+    (aligned per-column stores; the fast path used by sgbm_fused_tpu).
+    Only used inside the int16 sentinel envelope (the caller
     falls back to the XLA volume path otherwise).
 
     Layout trick: with CG=128 columns per grid block, the shear window
@@ -338,12 +354,19 @@ def cost_sweep_fused(lp, llo, lhi, rp, rlo, rhi, params, sentinel: int,
     r_specs = [chunk(lambda i, o=o: m_blk - 1 - i + o)
                for _ in range(3) for o in range(nch)]
 
-    out_spec = pl.BlockSpec((h, _CG, dd), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
+    w_major = out_layout == "whd"
+    if w_major:
+        out_spec = pl.BlockSpec((_CG, h, dd), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_sh = (wp, h, dd)
+    else:
+        out_spec = pl.BlockSpec((h, _CG, dd), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_sh = (h, wp, dd)
     kernel = functools.partial(
         _cost_sweep_kernel, nch_r=nch, dd=dd, w=w, min_disp=md,
         radius=radius, sentinel=int(sentinel), p1=float(p1), p2=float(p2),
-        band_halo=int(band_halo),
+        band_halo=int(band_halo), w_major=w_major, s1_bias=float(s1_bias),
     )
     args = []
     for img in lpad:
@@ -360,8 +383,8 @@ def cost_sweep_fused(lp, llo, lhi, rp, rlo, rhi, params, sentinel: int,
         in_specs=l_specs + r_specs + flag_specs,
         out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((h, wp, dd), jnp.int16),
-            jax.ShapeDtypeStruct((h, wp, dd), s1_dtype),
+            jax.ShapeDtypeStruct(out_sh, jnp.int16),
+            jax.ShapeDtypeStruct(out_sh, s1_dtype),
         ),
         scratch_shapes=[pltpu.VMEM((1, h, dd), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -369,7 +392,7 @@ def cost_sweep_fused(lp, llo, lhi, rp, rlo, rhi, params, sentinel: int,
         ),
     )(*args)
     if wp != w:
-        C, s1 = C[:, :w], s1[:, :w]
+        C, s1 = (C[:w], s1[:w]) if w_major else (C[:, :w], s1[:, :w])
     return C, s1
 
 
@@ -753,6 +776,213 @@ def sweep_h_wta(cost, p1, p2, accum, params, g: int = 128,
     return disp16, valid
 
 
+def _sweep_hw_wta_kernel(c_ref, acc1_ref, acc2_ref, mins_ref, sm_ref,
+                         sp_ref, packed_ref, carry_ref, ring_ref, buf_ref,
+                         *, p1, p2, g, int_mode, packed_ok, min_disp, uniq,
+                         lr_max_diff, pad_left, nblocks, acc1_bias,
+                         acc2_bias):
+    """W-major final sweep: identical semantics to _sweep_h_wta_kernel but
+    over a (W, H, D) volume, so each column access c_ref[j] is one aligned
+    (H, D) tile-plane load instead of an (H, 1, D) single-sublane masked
+    access (~4.5x faster per sweep at KITTI volume, exp_hsweep_layout).
+    Takes TWO accumulator volumes (the fused cost kernel's forward-
+    horizontal partial s1 — already W-major — and the vertical trio's sum,
+    transposed once in XLA) so sweep_v needs no W-major rewrite; the f32
+    adds are integer-exact, so the result is bit-identical to the h-major
+    kernel.
+
+    The kernel emits only the per-column WTA REDUCTIONS (min_s, the two
+    subpixel neighbor sums, and a packed best|bestR|uniqueness-violated
+    word); all remaining algebra is XLA work on (H, W) maps in the
+    wrapper. Per-column results are LANE-PACKED: masked into lane j of
+    (H, g) scratch buffers and flushed once per block as aligned (H, g)
+    stores. This replaces the first W-major attempt's tot-scratch +
+    chunked-WTA design (8 ms alone: per-column relayout stores and
+    (ck, H, D) re-reads) and the second attempt's full in-kernel WTA
+    (7.1 ms: serial lane reduces + (H, 1) column algebra at full
+    plane-op cost)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[...] = jnp.full(carry_ref.shape, BIG_F, jnp.float32)
+        ring_ref[...] = jnp.full(ring_ref.shape, BIG_F, jnp.float32)
+
+    _, h, d = c_ref.shape
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
+    d_f = d_idx.astype(jnp.float32)
+    lane0 = d_idx == 0
+    mult = float(_next_pow2(d))
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+    ones_col = jnp.ones((d, 1), jnp.float32)
+
+    # fori_loop, not a python unroll: the 128-wide unrolled body (with one
+    # MXU dot per column) made the register allocator spill 116 MB of VMEM.
+    # All loop state lives in refs, so the body carries nothing.
+    def _column(t, _):
+        j = g - 1 - t
+        c = _to_acc(c_ref[j], int_mode)
+        L = _dir_update(carry_ref[0], c, d_idx, d, p1, p2, BIG_F)
+        carry_ref[0] = L
+        total = (L + (_to_acc(acc1_ref[j], int_mode) + acc1_bias)
+                 + (_to_acc(acc2_ref[j], int_mode) + acc2_bias))
+        if lr_max_diff >= 0:
+            # Right-view ring buffer: same invariant as the h-major kernel
+            # (see the section comment above _sweep_h_wta_kernel).
+            rolled = jnp.roll(ring_ref[0], -1, axis=-1)
+            if packed_ok:
+                key = total * mult + d_f
+                ring = jnp.minimum(rolled, key)
+                br = ring[:, 0:1].astype(jnp.int32) & (int(mult) - 1)
+            else:
+                rolled_arg = jnp.roll(ring_ref[1], -1, axis=-1)
+                take = total <= rolled
+                ring = jnp.where(take, total, rolled)
+                ring_arg = jnp.where(take, d_f, rolled_arg)
+                br = ring_arg[:, 0:1].astype(jnp.int32)
+                ring_ref[1] = jnp.where(lane0, float(d), ring_arg)
+            ring_ref[0] = jnp.where(lane0, BIG_F, ring)
+        else:
+            br = jnp.zeros((h, 1), jnp.int32)
+
+        # --- per-column WTA reductions ONLY (subpixel/uniqueness/validity
+        # algebra runs in XLA on (H, W) maps after the kernel — 128x
+        # cheaper per op than in-kernel (H, 1) column math). The two
+        # neighbor sums and the uniqueness-violation count are MXU dots
+        # (masked S @ ones): one matmul instead of a 7-step serial lane
+        # reduce each, off the VPU's critical path. ---
+        sf = total
+        if packed_ok:
+            key = sf * mult + d_f
+            bk = jnp.min(key, axis=-1, keepdims=True).astype(jnp.int32)
+            best = bk & (int(mult) - 1)
+            min_s = ((bk - best) // int(mult)).astype(jnp.float32)
+        else:
+            min_s = jnp.min(sf, axis=-1, keepdims=True)
+            best = jnp.min(jnp.where(sf == min_s, d_f, float(d)), axis=-1,
+                           keepdims=True).astype(jnp.int32)
+        best_f = best.astype(jnp.float32)
+
+        def lane_dot(x):  # (h, d) @ (d, 1) sum over lanes on the MXU
+            return jax.lax.dot_general(
+                x, ones_col, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        s_m = lane_dot(jnp.where(d_f == jnp.maximum(best_f - 1, 0.0),
+                                 sf, 0.0))
+        s_p = lane_dot(jnp.where(d_f == jnp.minimum(best_f + 1,
+                                                    float(d - 1)), sf, 0.0))
+        if uniq > 0:
+            far = jnp.abs(d_f - best_f) > 1.0
+            viol = far & (sf * (100.0 - uniq) < min_s * 100.0)
+            bad = (lane_dot(viol.astype(jnp.float32)) > 0).astype(jnp.int32)
+        else:
+            bad = jnp.zeros((h, 1), jnp.int32)
+
+        # --- lane-pack the column's reduction results into lane j ---
+        sel = lane_g == j
+        buf_ref[0] = jnp.where(sel, min_s.astype(jnp.int32), buf_ref[0])
+        buf_ref[1] = jnp.where(sel, s_m.astype(jnp.int32), buf_ref[1])
+        buf_ref[2] = jnp.where(sel, s_p.astype(jnp.int32), buf_ref[2])
+        buf_ref[3] = jnp.where(sel, best | (br << 10) | (bad << 20),
+                               buf_ref[3])
+        return _
+
+    jax.lax.fori_loop(0, g, _column, 0)
+    # Block complete: one aligned (H, g) store per output.
+    mins_ref[...] = buf_ref[0]
+    sm_ref[...] = buf_ref[1]
+    sp_ref[...] = buf_ref[2]
+    packed_ref[...] = buf_ref[3]
+
+
+def sweep_hw_wta(cost, p1, p2, acc1, acc2, params, g: int = 128,
+                 max_total: int | None = None, acc1_bias: float = 0.0,
+                 acc2_bias: float = 0.0):
+    """W-major final fused sweep (right-to-left horizontal + WTA +
+    incremental right-view WTA) over a (W, H, D) volume; returns
+    (disp16 int32 (H, W), valid bool (H, W)) in the standard image layout.
+
+    ``acc1``/``acc2`` are (W, H, D) partial-sum volumes (their f32 sum with
+    the in-kernel R->L term is integer-exact, so splitting the accumulator
+    changes nothing numerically). ``max_total`` gates the packed-key argmin
+    exactly as in sweep_h_wta. g must stay 128: the lane-packed result
+    buffers hold one column per lane and flush once per block."""
+    w, h, d = cost.shape
+    int_mode = cost.dtype == jnp.int16
+    packed_ok = (max_total is not None
+                 and max_total * _next_pow2(d) + d < 2 ** 24)
+    wp = -(-w // g) * g
+    pad_left = wp - w
+    if pad_left:
+        def padw(a):
+            return jnp.concatenate(
+                [jnp.zeros((pad_left, h, d), a.dtype), a], axis=0)
+        cost, acc1, acc2 = padw(cost), padw(acc1), padw(acc2)
+    nblocks = wp // g
+    imap3 = lambda i: (nblocks - 1 - i, 0, 0)  # noqa: E731
+    imap2 = lambda i: (0, nblocks - 1 - i)  # noqa: E731
+
+    lr_max_diff = int(params.disp12_max_diff)
+    kernel = functools.partial(
+        _sweep_hw_wta_kernel, p1=p1, p2=p2, g=g, int_mode=int_mode,
+        packed_ok=packed_ok, min_disp=int(params.min_disparity),
+        uniq=float(params.uniqueness_ratio), lr_max_diff=lr_max_diff,
+        pad_left=pad_left, nblocks=nblocks, acc1_bias=float(acc1_bias),
+        acc2_bias=float(acc2_bias),
+    )
+    spec3 = pl.BlockSpec((g, h, d), imap3, memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((h, g), imap2, memory_space=pltpu.VMEM)
+    min_s, s_m, s_p, packed = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[spec3, spec3, spec3],
+        out_specs=(spec2, spec2, spec2, spec2),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((h, wp), jnp.int32) for _ in range(4)),
+        scratch_shapes=[
+            pltpu.VMEM((1, h, d), jnp.float32),       # R->L carry
+            pltpu.VMEM((2 if not packed_ok else 1, h, d),
+                       jnp.float32),                  # right-WTA ring
+            pltpu.VMEM((4, h, g), jnp.int32),         # lane-packed results
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(cost, acc1, acc2)
+    if pad_left:
+        min_s, s_m = min_s[:, pad_left:], s_m[:, pad_left:]
+        s_p, packed = s_p[:, pad_left:], packed[:, pad_left:]
+
+    # --- XLA post-pass on (H, W) maps: subpixel, uniqueness, validity ---
+    # (mirrors _wta_cols exactly; maps are 128x cheaper than volume ops).
+    best = packed & 1023
+    best_r = (packed >> 10) & 1023
+    bad = packed >> 20
+    min_f = min_s.astype(jnp.float32)
+    s_mf = s_m.astype(jnp.float32)
+    s_pf = s_p.astype(jnp.float32)
+    best_f = best.astype(jnp.float32)
+    denom = s_mf + s_pf - 2.0 * min_f
+    interior = (best > 0) & (best < d - 1) & (denom > 0)
+    frac = jnp.where(interior,
+                     (s_mf - s_pf) / jnp.maximum(2.0 * denom, 1e-9), 0.0)
+    frac = jnp.clip(frac, -0.5, 0.5)
+    disp16 = jnp.round((best_f + frac + float(params.min_disparity)) * 16.0
+                       ).astype(jnp.int32)
+    valid = bad == 0
+    # No full-range right support on the left band.
+    x = jnp.arange(w, dtype=jnp.int32)[None, :]
+    valid &= (x - (best + int(params.min_disparity))) >= 0
+    if lr_max_diff >= 0:
+        # dR(x) = bestR[x - best(x)]: tiny (H, W) gather (see sweep_h_wta).
+        idx = jnp.clip(x - best, 0, w - 1)
+        d_r = jnp.take_along_axis(best_r, idx, axis=1)
+        ok = (jnp.abs(best - d_r) <= lr_max_diff) | (x - best < 0)
+        valid &= ok
+    return disp16, valid
+
+
 def _partial_enc_ladder(per_dir: int):
     """Storage encoding (dtype, bias) for an n-direction partial sum on the
     x2 int grid: 2-byte whenever the static bound allows. Values are
@@ -855,6 +1085,15 @@ def sgbm_fused_tpu(lp, rp, params, sentinel: int):
     ``lp``/``rp`` are the prefiltered (H, W) f32 images; ``sentinel`` is the
     x2-grid invalid-cost sentinel from sgbm.int16_sentinel (must not be
     None). Returns (disp16 int32 (H, W), valid bool (H, W)).
+
+    Layout plan (round 4): the horizontal scans run W-major — the fused
+    cost kernel emits (W, H, D) volumes with aligned per-column stores and
+    the final fused WTA sweep reads them the same way (~4.5x faster per
+    horizontal sweep than the (H, g, D) narrow-access layout,
+    exp_hsweep_layout). The vertical trio stays H-major (its (g, W, D) row
+    blocks are already aligned); one XLA transpose each way bridges the
+    layouts, and the vertical partial feeds the final kernel as a second
+    accumulator so s1 itself never needs transposing.
     """
     p1 = float(2 * params.effective_p1)
     p2 = float(2 * params.effective_p2)
@@ -863,9 +1102,32 @@ def sgbm_fused_tpu(lp, rp, params, sentinel: int):
     per_dir = cost_max + int(p2)
     max_total = params.num_paths * per_dir
     partial_enc = _partial_enc_ladder(per_dir)
+    b1 = partial_enc(1)[1]
 
     lp2, llo, lhi, rp2, rlo, rhi = prep_x2_envelopes(lp, rp)
-    C, s1 = cost_sweep_fused(lp2, llo, lhi, rp2, rlo, rhi, params,
-                             int(sentinel), p1, p2,
-                             s1_dtype=partial_enc(1)[0])
-    return _finish_from_s1(C, s1, params, p1, p2, partial_enc, max_total)
+    C_w, s1_w = cost_sweep_fused(lp2, llo, lhi, rp2, rlo, rhi, params,
+                                 int(sentinel), p1, p2,
+                                 s1_dtype=partial_enc(1)[0],
+                                 out_layout="whd", s1_bias=b1)
+    C = jnp.swapaxes(C_w, 0, 1)
+    # Vertical partial (all non-horizontal directions), H-major.
+    if params.num_paths == 5:
+        dtv, bv = partial_enc(3)
+        sv = sweep_v(C, (0, 1, -1), p1, p2, False, out_dtype=dtv,
+                     out_bias=bv)
+    elif params.num_paths == 4:
+        dt2, b2 = partial_enc(1)
+        s2 = sweep_v(C, (0,), p1, p2, False, out_dtype=dt2, out_bias=b2)
+        dtv, bv = partial_enc(2)
+        sv = sweep_v(C, (0,), p1, p2, True, accum=s2, acc_bias=b2,
+                     out_dtype=dtv, out_bias=bv)
+    else:  # 8 paths
+        dt2, b2 = partial_enc(3)
+        s2 = sweep_v(C, (0, 1, -1), p1, p2, False, out_dtype=dt2,
+                     out_bias=b2)
+        dtv, bv = partial_enc(6)
+        sv = sweep_v(C, (0, 1, -1), p1, p2, True, accum=s2, acc_bias=b2,
+                     out_dtype=dtv, out_bias=bv)
+    sv_w = jnp.swapaxes(sv, 0, 1)
+    return sweep_hw_wta(C_w, p1, p2, s1_w, sv_w, params,
+                        max_total=max_total, acc1_bias=b1, acc2_bias=bv)
