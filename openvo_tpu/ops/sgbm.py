@@ -390,18 +390,62 @@ def _run_min(lab, conn_pred, axis):
     return sweep(m, _shift_fill(conn_pred, -1, axis, False), -1)
 
 
+def _segment_sizes_sorted(lab_flat):
+    """Size of each label's group, returned per element, GATHER/SCATTER-
+    free: sort (label, position) pairs, measure run lengths of equal
+    labels with segmented Hillis-Steele scans on the sorted 1-D array,
+    and un-sort by a second key-val sort on the original position.
+    Measured 6x faster than the scatter-add histogram + take at KITTI
+    size (1.3 ms vs 7.8 ms, exp_speckle2 round 4): XLA:TPU scatters
+    serialize, sorts don't."""
+    n = lab_flat.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    sk, sval = jax.lax.sort_key_val(lab_flat, pos)
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    # forward inclusive segmented sum of ones = rank-in-segment + 1
+    tot = jnp.ones((n,), jnp.int32)
+    conn_f = ~seg_start
+    k = 1
+    while k < n:
+        tot = jnp.where(conn_f, tot + _shift_fill(tot, k, 0, 0), tot)
+        conn_f = conn_f & _shift_fill(conn_f, k, 0, False)
+        k *= 2
+    # segment total sits at the segment end; broadcast it back with a
+    # reverse segmented max-scan
+    seg_end = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones((1,), bool)])
+    total = jnp.where(seg_end, tot, 0)
+    conn_b = ~_shift_fill(seg_start, -1, 0, True)
+    k = 1
+    while k < n:
+        total = jnp.maximum(
+            total, jnp.where(conn_b, _shift_fill(total, -k, 0, 0), 0))
+        conn_b = conn_b & _shift_fill(conn_b, -k, 0, False)
+        k *= 2
+    _, out = jax.lax.sort_key_val(sval, total)
+    return out
+
+
 def _speckle_filter_batched(disp16, valid, params: SGBMParams):
     """Batched core of :func:`_speckle_filter` over (B, H, W) stacks.
 
-    The scan stages (rolls/mins) batch transparently; the pointer-jump
-    gathers and the size histogram run on GLOBALLY-OFFSET flat labels
-    (frame b's labels live in [b*n, (b+1)*n)), so the whole batch is ONE
-    flat 1-D gather/scatter — the shape XLA:TPU lowers well. A vmapped 1-D
-    gather (batch dims on both operand and indices) is a compile-time bomb
-    on TPU: vmap x4 of the single-frame filter exceeded a 600 s compile
-    budget while this flat form compiles in seconds (measured, round 3).
-    Labels stay frame-local (< 2^24, exact f32) in the scan stages; only
-    the flat gathers use the int32 global offsets."""
+    Round-4 design: labeling is SCAN-ONLY (10 alternating row/column
+    segmented min-scan rounds — 4 rounds fully converge on real SGBM
+    output and 10 on an adversarial random-island map, measured
+    exp_speckle2 + the CPU cv2 oracle check) and component sizes
+    come from the sort-based :func:`_segment_sizes_sorted` on GLOBALLY-
+    OFFSET flat labels (frame b's labels live in [b*n, (b+1)*n), so one
+    flat sort serves the whole batch). This replaced the round-3
+    pointer-jump mop-up (4 x 467k-element gathers, ~12 ms) and scatter
+    histogram (~8 ms) — ~21 ms -> ~1.7 ms with IDENTICAL output on real
+    disparity maps. Labels stay frame-local (< 2^24, exact f32) in the
+    scan stages.
+
+    Size-count nuance: invalid pixels are label-singletons (connectivity
+    requires both endpoints valid), so group size == sorted-run length
+    with no validity weighting; invalid pixels get size 1 where the old
+    scatter gave 0 — both are <= the window threshold and the result is
+    ANDed with ``valid``, so the filter output is unchanged."""
     B, H, W = disp16.shape
     max_diff = 16 * params.speckle_range
     n = H * W
@@ -417,25 +461,13 @@ def _speckle_filter_batched(disp16, valid, params: SGBMParams):
     idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
            + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
     labels = jnp.broadcast_to(idx.astype(jnp.float32), (B, H, W))
-    for _ in range(4):
+    for _ in range(10):
         labels = _run_min(labels, conn_x, axis=-1)
         labels = _run_min(labels, conn_y, axis=-2)
 
-    # Mop-up for serpentine components the scans haven't merged: pointer
-    # jumping doubles the resolved path length per round.
     offs = (jnp.arange(B, dtype=jnp.int32) * n)[:, None]
     lab = (labels.astype(jnp.int32).reshape(B, n) + offs).reshape(-1)
-    for _ in range(2):
-        lab = jnp.take(lab, lab)
-        lab = jnp.take(lab, lab)
-        l2 = (lab.reshape(B, n) - offs).reshape(B, H, W)
-        l2 = _run_min(l2.astype(jnp.float32), conn_x, axis=-1)
-        l2 = _run_min(l2, conn_y, axis=-2)
-        lab = (l2.astype(jnp.int32).reshape(B, n) + offs).reshape(-1)
-
-    sizes = jnp.zeros((B * n,), jnp.int32).at[lab].add(
-        jnp.where(valid.reshape(-1), 1, 0))
-    comp_size = jnp.take(sizes, lab).reshape(B, H, W)
+    comp_size = _segment_sizes_sorted(lab).reshape(B, H, W)
     keep = comp_size > params.speckle_window_size
     return valid & keep
 
@@ -448,10 +480,10 @@ def _speckle_filter(disp16, valid, params: SGBMParams):
     TPU-native labeling: alternating row/column segmented min-scans
     (gather-free label propagation; one alternation fully resolves every
     straight run, so staircase-shaped components converge in a handful of
-    rounds), finished with two pointer-jump rounds that path-compress any
-    remaining serpentine components. Only 5 indexed ops total (4 jump
-    gathers + 1 size histogram) vs the 33 of the round-2 pointer-jump-only
-    loop, which was ~107 ms/frame at KITTI resolution.
+    rounds) and sort-based component sizing — NO gathers or scatters at
+    all (round 4; the round-3 pointer-jump mop-up + scatter histogram
+    cost ~20 ms/frame, this runs ~1.7 ms with identical output; the
+    round-2 pointer-jump-only loop was ~107 ms).
 
     vmap (the batched-extract stream shape, the camera rig) routes through
     a custom_vmap rule to the flat-global-index batched core — see
