@@ -145,7 +145,11 @@ def main():
 
     # ---- V2: pltpu.roll in the W-outer kernel ----
     def plroll(x, k, axis):
-        return pltpu.roll(x, k, axis if axis >= 0 else x.ndim + axis)
+        # pltpu.roll requires a non-negative shift; a left-roll by k is a
+        # right-roll by (n - k).
+        axis = axis if axis >= 0 else x.ndim + axis
+        n = x.shape[axis]
+        return pltpu.roll(x, k % n, axis)
 
     v2 = jax.jit(lambda Cw: sweep_h_wout(
         Cw, roll=plroll).astype(jnp.int32).sum())
