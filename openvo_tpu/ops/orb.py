@@ -426,76 +426,97 @@ def detect_and_compute(img, mask, params: ORBParams):
         corner &= mstack
     resp = jax.vmap(harris_response)(stack)
 
-    # --- batched per-level top-k ---
+    # --- per-level top-k on each level's EXACT (h_l, w_l) canvas slice:
+    # selection work stays sum-of-level-areas (1.67 MP at KITTI) instead
+    # of nlevels x full canvas (3.74 MP) — the padded batched _topk_rows
+    # variant measured ~2x the cost (exp_orb_bisect round 4) ---
     budget_arr = jnp.asarray(k_eff, jnp.int32)[:, None]
     rank = jnp.arange(P, dtype=jnp.int32)[None, :]
-    if not params.cv2_ranking:
-        flat = jnp.where(corner, resp, -jnp.inf).reshape(nl, -1)
-        top_vals, top_idx = _topk_rows(flat, P)
-    else:
-        # Stage 1: best 2k by FAST score (cv2's pre-Harris retainBest);
-        # stage 2: among those, best k by Harris. Per-level budgets are
-        # enforced by rank masks on the descending-sorted top-k output,
-        # which preserves the exact per-level selection of the looped
-        # form (top-2P then mask == top-2k_l for every level).
-        P2 = min(2 * P, H * W)
-        flat_fast = jnp.where(corner, score, -jnp.inf).reshape(nl, -1)
-        fast_vals, fast_idx = _topk_rows(flat_fast, P2)
-        rank2 = jnp.arange(P2, dtype=jnp.int32)[None, :]
-        fast_vals = jnp.where(rank2 < 2 * budget_arr, fast_vals, -jnp.inf)
-        resp_at = jnp.where(
-            jnp.isfinite(fast_vals),
-            jnp.take_along_axis(resp.reshape(nl, -1), fast_idx, axis=1),
-            -jnp.inf)
-        top_vals, sel = jax.lax.top_k(resp_at, P)
-        top_idx = jnp.take_along_axis(fast_idx, sel, axis=1)
+    xy_list, val_list = [], []
+    for lv in range(nl):
+        h_l, w_l = dims[lv]
+        corner_l = corner[lv, :h_l, :w_l].reshape(-1)
+        resp_l = resp[lv, :h_l, :w_l].reshape(-1)
+        if not params.cv2_ranking:
+            flat = jnp.where(corner_l, resp_l, -jnp.inf)
+            tv, ti = _topk_flat(flat, P)
+        else:
+            # Stage 1: best 2k by FAST score (cv2's pre-Harris
+            # retainBest); stage 2: among those, best k by Harris.
+            k2 = min(2 * k_eff[lv], h_l * w_l)
+            score_l = score[lv, :h_l, :w_l].reshape(-1)
+            fv, fi = _topk_flat(jnp.where(corner_l, score_l, -jnp.inf), k2)
+            resp_at = jnp.where(jnp.isfinite(fv), jnp.take(resp_l, fi),
+                                -jnp.inf)
+            kk = min(P, k2)
+            tv, sel = jax.lax.top_k(resp_at, kk)
+            ti = jnp.take(fi, sel)
+            if kk < P:
+                tv = jnp.pad(tv, (0, P - kk), constant_values=-jnp.inf)
+                ti = jnp.pad(ti, (0, P - kk))
+        xy_list.append(jnp.stack([ti % w_l, ti // w_l], axis=-1))
+        val_list.append(tv)
+    top_vals = jnp.stack(val_list)                      # (nl, P)
+    xy2 = jnp.stack(xy_list).astype(jnp.int32)          # (nl, P, 2)
     valid2 = jnp.isfinite(top_vals) & (rank < budget_arr)
-    xy2 = jnp.stack([top_idx % W, top_idx // W], axis=-1).astype(jnp.int32)
 
-    # --- orientation + descriptors from the stack (flat over levels) ---
-    lv_flat = jnp.repeat(jnp.arange(nl, dtype=jnp.int32), P)
-    xy_flat = xy2.reshape(-1, 2)
-    valid_flat = valid2.reshape(-1)
-    wins_o = _patch_windows_stack(stack, lv_flat, xy_flat, HALF_PATCH)
-    ang_flat = _orientations_from_windows(wins_o, valid_flat)
-    # Round like cv2's uint8 working image: ORB compares uint8-rounded
-    # blur values, so rounding keeps descriptors bit-comparable.
-    stack_b = jnp.round(jax.vmap(lambda im: gaussian_blur(im, 7, 2.0))(stack))
-    wins_d = _patch_windows_stack(stack_b, lv_flat, xy_flat, BRIEF_WIN)
-    desc_flat = _descriptors(None, xy_flat, ang_flat, valid_flat,
-                             wins=wins_d)
-
-    scale_arr = jnp.asarray(
-        [params.scale_factor**lv for lv in range(nl)],
-        jnp.float32)[:, None]
-    xy = (xy2.astype(jnp.float32)
-          * scale_arr[..., None]).reshape(-1, 2)
-    resp = top_vals.reshape(-1)
-    ang = ang_flat
-    octv = lv_flat
-    valid = valid_flat
-    desc = desc_flat
-
-    # --- compact to the fixed capacity: valid rows first, preserving
+    # --- compact to the fixed capacity FIRST: valid rows first, preserving
     # level-major rank order (identical valid-row order to the looped
-    # form; padding rows move to the tail, which is masked everywhere) ---
+    # form; padding rows move to the tail, which is masked everywhere).
+    # Ordering before window extraction means the expensive per-keypoint
+    # gathers below run on K=max_keypoints rows instead of nlevels*P
+    # padded rows (864 -> 512 at defaults: the window DMAs and the BRIEF
+    # sample gathers were the top ORB cost, exp_orb_bisect round 4). ---
     K = params.max_keypoints
     n = nl * P
-    order_key = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), n + 1)
+    lv_flat = jnp.repeat(jnp.arange(nl, dtype=jnp.int32), P)
+    xy_flat = xy2.reshape(-1, 2)
+    resp_flat = top_vals.reshape(-1)
+    valid_flat = valid2.reshape(-1)
+    order_key = jnp.where(valid_flat, jnp.arange(n, dtype=jnp.int32), n + 1)
     perm = jnp.argsort(order_key)
-    xy, resp, ang = xy[perm], resp[perm], ang[perm]
-    octv, valid, desc = octv[perm], valid[perm], desc[perm]
-    if n < K:
-        pad = K - n
-        xy = jnp.concatenate([xy, jnp.zeros((pad, 2), xy.dtype)])
-        resp = jnp.concatenate([resp, jnp.full((pad,), -jnp.inf, resp.dtype)])
-        ang = jnp.concatenate([ang, jnp.zeros((pad,), ang.dtype)])
-        octv = jnp.concatenate([octv, jnp.zeros((pad,), octv.dtype)])
-        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
-        desc = jnp.concatenate([desc, jnp.zeros((pad, 32), desc.dtype)])
-    elif n > K:
-        xy, resp, ang = xy[:K], resp[:K], ang[:K]
-        octv, valid, desc = octv[:K], valid[:K], desc[:K]
+    if n > K:
+        perm = perm[:K]
+
+    def compact(a, pad_val=0):
+        a = a[perm]
+        if n < K:
+            padding = jnp.full((K - n,) + a.shape[1:], pad_val, a.dtype)
+            a = jnp.concatenate([a, padding])
+        return a
+
+    xy_lvl = compact(xy_flat)
+    octv = compact(lv_flat)
+    resp = compact(resp_flat, -jnp.inf)
+    valid = compact(valid_flat, False)
+
+    # --- orientation + descriptors from ONE raw window per keypoint ---
+    # A (45, 45) raw window covers both consumers: the 31x31 interior is
+    # the IC_Angle patch, and blurring the window in-register (separable
+    # 7-tap, valid region) yields the exact 39x39 blurred BRIEF window —
+    # every blur tap reads raw pixels >= 3 px inside the window, so the
+    # values equal the whole-image blur. This removes the whole-stack
+    # gaussian AND the second per-keypoint DMA slice set (the window DMAs
+    # were a top ORB cost, exp_orb_bisect round 4).
+    rw = BRIEF_WIN + 3  # 19 + blur radius
+    wins_raw = _patch_windows_stack(stack, octv, xy_lvl, rw)  # (K, 45, 45)
+    c0 = rw - HALF_PATCH
+    wins_o = wins_raw[:, c0:c0 + 2 * HALF_PATCH + 1,
+                      c0:c0 + 2 * HALF_PATCH + 1]
+    ang = _orientations_from_windows(wins_o, valid)
+    # Round like cv2's uint8 working image: ORB compares uint8-rounded
+    # blur values, so rounding keeps descriptors bit-comparable.
+    from openvo_tpu.ops.image import gaussian_kernel_1d
+    kb = jnp.asarray(gaussian_kernel_1d(7, 2.0))
+    size_d = 2 * BRIEF_WIN + 1
+    h_pass = sum(kb[i] * wins_raw[:, :, i:i + size_d] for i in range(7))
+    wins_d = jnp.round(
+        sum(kb[i] * h_pass[:, i:i + size_d, :] for i in range(7)))
+    desc = _descriptors(None, xy_lvl, ang, valid, wins=wins_d)
+
+    scale_tab = jnp.asarray(
+        [params.scale_factor**lv for lv in range(nl)], jnp.float32)
+    xy = xy_lvl.astype(jnp.float32) * scale_tab[octv][:, None]
 
     size = jnp.where(
         valid,

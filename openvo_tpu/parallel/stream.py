@@ -1,21 +1,28 @@
-"""Throughput-shaped streaming VO: batched extraction + scanned state machine.
+"""Batch-extraction streaming VO: batched extraction + scanned state machine.
 
 The per-frame odometer step (reference stereo_odometer.py:115-160) is 95%
 state-independent work — rectify, SGBM, reproject, ORB (``extract``) — and a
 tiny sequential tail (match vs the last accepted frame, Kabsch, gates, pose
-chain). Frame-at-a-time stepping serializes everything; this module runs the
-state-free part BATCHED over frames (``jax.vmap`` — the Pallas SGBM kernels
-batch natively: vmap prepends a batch grid axis, ``pl.program_id`` keeps
-numbering the kernel's own axes, and the per-sweep VMEM carries re-init at
-block 0 of every batch entry) and scans only the sequential state machine
-over the extracted features.
+chain). This module runs the state-free part BATCHED over frames
+(``jax.vmap`` — the Pallas SGBM kernels batch natively: vmap prepends a
+batch grid axis, ``pl.program_id`` keeps numbering the kernel's own axes,
+and the per-sweep VMEM carries re-init at block 0 of every batch entry) and
+scans only the sequential state machine over the extracted features.
 
 The trajectory is IDENTICAL to sequential stepping by construction: the
 state machine consumes exactly the same FrameFeatures in the same order
 (tests/test_parallel.py asserts this).
 
-This is the single-chip execution shape that fills the TPU; the multi-chip
-frame-sharded version lives in parallel/sharding.py.
+**This shape is NOT faster than frame-at-a-time stepping on one chip**
+(measured round 4: 32 fps vs 42 fps latency shape at KITTI resolution;
+round 3: 41.4 vs 44.0). The v5e has one TensorCore, the Pallas sweeps are
+sequential grids, and per-frame kernels already saturate it — vmap
+concatenates grids rather than parallelizing them, while the batched
+extract multiplies live cost-volume footprint and HBM pressure. The value
+of this shape is (a) the building block for MULTI-chip frame sharding
+(parallel/sharding.py), where each shard extracts its frame block batched,
+and (b) bounded-memory chunked processing of long sequences. bench.py
+reports it as ``stream_fps`` next to the headline latency shape.
 """
 
 from __future__ import annotations
