@@ -272,6 +272,15 @@ def _cost_sweep_kernel(*refs, nch_r, dd, w, min_disp, radius, sentinel,
         box = window[0]
         for s in window[1:]:
             box = box + s
+        # Pad columns (x >= w) become UNIFORM sentinel: a disparity-uniform
+        # column is fresh-start-transparent to every SGM direction (with a
+        # uniform carry u, L = c + min(u, u+p1, u+p2) - u = c), which lets
+        # the padded (wp, H, D) volume flow through all later sweeps with
+        # no pad/slice copies (keep_pad mode). The raw per-pixel sentinel
+        # is already uniform; this re-asserts uniformity where the box
+        # window mixes in real columns near the right edge.
+        xglob = i * _CG + jo
+        box = jnp.where(xglob > w - 1, float(sentinel), box)
         L = _dir_update(carry_ref[0], box, lane, dd, p1, p2, BIG_F)
         carry_ref[0] = L
         # biased-int16 encoding (s1_bias 0 = raw; skip the op to keep the
@@ -296,7 +305,8 @@ def _cost_sweep_kernel(*refs, nch_r, dd, w, min_disp, radius, sentinel,
 def cost_sweep_fused(lp, llo, lhi, rp, rlo, rhi, params, sentinel: int,
                      p1: float, p2: float, s1_dtype=jnp.int16,
                      band_halo: int = 0, edge_flags=None,
-                     out_layout: str = "hwd", s1_bias: float = 0.0):
+                     out_layout: str = "hwd", s1_bias: float = 0.0,
+                     keep_pad: bool = False):
     """Fused cost volume + box sum + forward horizontal sweep.
 
     Inputs are x2-scaled 2D prefiltered images and their BT envelopes
@@ -391,7 +401,7 @@ def cost_sweep_fused(lp, llo, lhi, rp, rlo, rhi, params, sentinel: int,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(*args)
-    if wp != w:
+    if wp != w and not keep_pad:
         C, s1 = (C[:w], s1[:w]) if w_major else (C[:, :w], s1[:, :w])
     return C, s1
 
@@ -779,7 +789,7 @@ def sweep_h_wta(cost, p1, p2, accum, params, g: int = 128,
 def _sweep_hw_wta_kernel(c_ref, acc1_ref, acc2_ref, mins_ref, sm_ref,
                          sp_ref, packed_ref, carry_ref, ring_ref, buf_ref,
                          *, p1, p2, g, int_mode, packed_ok, min_disp, uniq,
-                         lr_max_diff, pad_left, nblocks, acc1_bias,
+                         lr_max_diff, w_lim, nblocks, acc1_bias,
                          acc2_bias):
     """W-major final sweep: identical semantics to _sweep_h_wta_kernel but
     over a (W, H, D) volume, so each column access c_ref[j] is one aligned
@@ -815,12 +825,18 @@ def _sweep_hw_wta_kernel(c_ref, acc1_ref, acc2_ref, mins_ref, sm_ref,
     mult = float(_next_pow2(d))
     lane_g = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
     ones_col = jnp.ones((d, 1), jnp.float32)
+    blk = nblocks - 1 - i
 
     # fori_loop, not a python unroll: the 128-wide unrolled body (with one
     # MXU dot per column) made the register allocator spill 116 MB of VMEM.
     # All loop state lives in refs, so the body carries nothing.
     def _column(t, _):
         j = g - 1 - t
+        # Right-pad columns (x >= w_lim, uniform-sentinel cost) are
+        # recurrence-transparent but must NOT deposit into the right-view
+        # ring: a pad column x would contribute to real right pixels
+        # x - d, which do not exist in the unpadded image.
+        in_pad = blk * g + j >= w_lim
         c = _to_acc(c_ref[j], int_mode)
         L = _dir_update(carry_ref[0], c, d_idx, d, p1, p2, BIG_F)
         carry_ref[0] = L
@@ -831,12 +847,12 @@ def _sweep_hw_wta_kernel(c_ref, acc1_ref, acc2_ref, mins_ref, sm_ref,
             # (see the section comment above _sweep_h_wta_kernel).
             rolled = jnp.roll(ring_ref[0], -1, axis=-1)
             if packed_ok:
-                key = total * mult + d_f
+                key = jnp.where(in_pad, BIG_F, total * mult + d_f)
                 ring = jnp.minimum(rolled, key)
                 br = ring[:, 0:1].astype(jnp.int32) & (int(mult) - 1)
             else:
                 rolled_arg = jnp.roll(ring_ref[1], -1, axis=-1)
-                take = total <= rolled
+                take = (total <= rolled) & ~in_pad
                 ring = jnp.where(take, total, rolled)
                 ring_arg = jnp.where(take, d_f, rolled_arg)
                 br = ring_arg[:, 0:1].astype(jnp.int32)
@@ -898,7 +914,7 @@ def _sweep_hw_wta_kernel(c_ref, acc1_ref, acc2_ref, mins_ref, sm_ref,
 
 def sweep_hw_wta(cost, p1, p2, acc1, acc2, params, g: int = 128,
                  max_total: int | None = None, acc1_bias: float = 0.0,
-                 acc2_bias: float = 0.0):
+                 acc2_bias: float = 0.0, w_true: int | None = None):
     """W-major final fused sweep (right-to-left horizontal + WTA +
     incremental right-view WTA) over a (W, H, D) volume; returns
     (disp16 int32 (H, W), valid bool (H, W)) in the standard image layout.
@@ -907,18 +923,20 @@ def sweep_hw_wta(cost, p1, p2, acc1, acc2, params, g: int = 128,
     the in-kernel R->L term is integer-exact, so splitting the accumulator
     changes nothing numerically). ``max_total`` gates the packed-key argmin
     exactly as in sweep_h_wta. g must stay 128: the lane-packed result
-    buffers hold one column per lane and flush once per block."""
-    w, h, d = cost.shape
+    buffers hold one column per lane and flush once per block.
+
+    ``w_true``: inputs may arrive RIGHT-padded to a g multiple with
+    uniform-sentinel pad columns (cost_sweep_fused keep_pad mode). Uniform
+    columns are fresh-start-transparent to the recurrence, pad columns are
+    masked out of the right-view ring in-kernel, and outputs are sliced
+    back to w_true — no pad/slice copies of the 120 MB volumes anywhere."""
+    wp, h, d = cost.shape
+    w = w_true if w_true is not None else wp
     int_mode = cost.dtype == jnp.int16
     packed_ok = (max_total is not None
                  and max_total * _next_pow2(d) + d < 2 ** 24)
-    wp = -(-w // g) * g
-    pad_left = wp - w
-    if pad_left:
-        def padw(a):
-            return jnp.concatenate(
-                [jnp.zeros((pad_left, h, d), a.dtype), a], axis=0)
-        cost, acc1, acc2 = padw(cost), padw(acc1), padw(acc2)
+    if wp % g:
+        raise ValueError(f"padded width {wp} not a multiple of {g=}")
     nblocks = wp // g
     imap3 = lambda i: (nblocks - 1 - i, 0, 0)  # noqa: E731
     imap2 = lambda i: (0, nblocks - 1 - i)  # noqa: E731
@@ -928,7 +946,7 @@ def sweep_hw_wta(cost, p1, p2, acc1, acc2, params, g: int = 128,
         _sweep_hw_wta_kernel, p1=p1, p2=p2, g=g, int_mode=int_mode,
         packed_ok=packed_ok, min_disp=int(params.min_disparity),
         uniq=float(params.uniqueness_ratio), lr_max_diff=lr_max_diff,
-        pad_left=pad_left, nblocks=nblocks, acc1_bias=float(acc1_bias),
+        w_lim=int(w), nblocks=nblocks, acc1_bias=float(acc1_bias),
         acc2_bias=float(acc2_bias),
     )
     spec3 = pl.BlockSpec((g, h, d), imap3, memory_space=pltpu.VMEM)
@@ -950,9 +968,9 @@ def sweep_hw_wta(cost, p1, p2, acc1, acc2, params, g: int = 128,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(cost, acc1, acc2)
-    if pad_left:
-        min_s, s_m = min_s[:, pad_left:], s_m[:, pad_left:]
-        s_p, packed = s_p[:, pad_left:], packed[:, pad_left:]
+    if wp != w:
+        min_s, s_m = min_s[:, :w], s_m[:, :w]
+        s_p, packed = s_p[:, :w], packed[:, :w]
 
     # --- XLA post-pass on (H, W) maps: subpixel, uniqueness, validity ---
     # (mirrors _wta_cols exactly; maps are 128x cheaper than volume ops).
@@ -1105,10 +1123,15 @@ def sgbm_fused_tpu(lp, rp, params, sentinel: int):
     b1 = partial_enc(1)[1]
 
     lp2, llo, lhi, rp2, rlo, rhi = prep_x2_envelopes(lp, rp)
+    # keep_pad: the (wp, H, D) volumes flow right-padded through every
+    # sweep (uniform-sentinel pads are recurrence-transparent; the final
+    # kernel masks them from the LR ring and slices its small outputs) —
+    # avoiding ~5 full-volume pad/slice copies per frame.
     C_w, s1_w = cost_sweep_fused(lp2, llo, lhi, rp2, rlo, rhi, params,
                                  int(sentinel), p1, p2,
                                  s1_dtype=partial_enc(1)[0],
-                                 out_layout="whd", s1_bias=b1)
+                                 out_layout="whd", s1_bias=b1,
+                                 keep_pad=True)
     C = jnp.swapaxes(C_w, 0, 1)
     # Vertical partial (all non-horizontal directions), H-major.
     if params.num_paths == 5:
@@ -1130,4 +1153,5 @@ def sgbm_fused_tpu(lp, rp, params, sentinel: int):
                      out_dtype=dtv, out_bias=bv)
     sv_w = jnp.swapaxes(sv, 0, 1)
     return sweep_hw_wta(C_w, p1, p2, s1_w, sv_w, params,
-                        max_total=max_total, acc1_bias=b1, acc2_bias=bv)
+                        max_total=max_total, acc1_bias=b1, acc2_bias=bv,
+                        w_true=lp.shape[1])

@@ -91,7 +91,8 @@ def main():
         lp, rp = prefilt(l, r)
         e = SP.prep_x2_envelopes(lp, rp)
         return SP.cost_sweep_fused(*e, p, int(sent), p1e, p2e,
-                                   s1_dtype=enc(1)[0], out_layout="whd")
+                                   s1_dtype=enc(1)[0], out_layout="whd",
+                                   keep_pad=True)
 
     C_w, s1_w = jax.jit(cost_w)(left, right)
     float(C_w.astype(jnp.float32)[0, 0, 0])
@@ -113,7 +114,8 @@ def main():
         lambda C_w, s1_w, sv_w: sum(
             x.astype(jnp.int32).sum()
             for x in SP.sweep_hw_wta(C_w, p1e, p2e, s1_w, sv_w, p,
-                                     max_total=max_total, acc2_bias=bv))),
+                                     max_total=max_total, acc2_bias=bv,
+                                     w_true=IMG_SIZE[0]))),
         C_w, s1_w, sv_w)
     # Transposes priced by materializing through a reshape-consumer the
     # compiler can't elide (sum alone is transpose-invariant!).

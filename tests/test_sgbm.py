@@ -66,6 +66,28 @@ def test_sgbm_agreement_vs_cv2(seed):
     assert np.median(np.abs(ref[both] - ours[both])) < 0.5
 
 
+def test_sgbm_agreement_nonaligned_width():
+    """Width not a multiple of 128 exercises the keep_pad path: the fused
+    kernels flow RIGHT-padded (wp, H, D) volumes through every sweep with
+    uniform-sentinel pad columns (round 4). The right-edge columns — where
+    a wrong pad carry or a pad deposit into the LR ring would surface —
+    must still agree with cv2."""
+    left, right, _ = synthetic_pair(7, img_size=(300, 160))
+    p = make_params()
+    ref = cv2_sgbm(left, right, p)
+    ours = np.asarray(sgbm_disparity(left, right, p))
+    roi = interior_mask(left.shape, p)
+    both = roi & (ref > 0) & (ours > 0)
+    agree1 = np.abs(ref[both] - ours[both]) <= 1.0
+    assert both.mean() > 0.4, "too few co-valid pixels"
+    assert agree1.mean() > 0.9, f"1px agreement {agree1.mean():.3f}"
+    # The right-edge band specifically (last 64 real columns).
+    edge = both & (np.arange(left.shape[1])[None, :] >= left.shape[1] - 64)
+    if edge.sum() > 100:
+        agree_e = np.abs(ref[edge] - ours[edge]) <= 1.0
+        assert agree_e.mean() > 0.85, f"edge agreement {agree_e.mean():.3f}"
+
+
 @pytest.mark.parametrize("block,min_disp,cap", [
     (7, 0, 63),     # int16 envelope: 7x7 sentinel sums used to wrap negative
     (9, 0, 63),     # largest int16-exact block at cap=63
