@@ -790,7 +790,7 @@ def _sweep_hw_wta_kernel(c_ref, acc1_ref, acc2_ref, mins_ref, sm_ref,
                          sp_ref, packed_ref, carry_ref, ring_ref, buf_ref,
                          *, p1, p2, g, int_mode, packed_ok, min_disp, uniq,
                          lr_max_diff, w_lim, nblocks, acc1_bias,
-                         acc2_bias, unroll):
+                         acc2_bias):
     """W-major final sweep: identical semantics to _sweep_h_wta_kernel but
     over a (W, H, D) volume, so each column access c_ref[j] is one aligned
     (H, D) tile-plane load instead of an (H, 1, D) single-sublane masked
@@ -904,7 +904,7 @@ def _sweep_hw_wta_kernel(c_ref, acc1_ref, acc2_ref, mins_ref, sm_ref,
                                buf_ref[3])
         return _
 
-    jax.lax.fori_loop(0, g, _column, 0, unroll=unroll)
+    jax.lax.fori_loop(0, g, _column, 0)
     # Block complete: one aligned (H, g) store per output.
     mins_ref[...] = buf_ref[0]
     sm_ref[...] = buf_ref[1]
@@ -914,8 +914,7 @@ def _sweep_hw_wta_kernel(c_ref, acc1_ref, acc2_ref, mins_ref, sm_ref,
 
 def sweep_hw_wta(cost, p1, p2, acc1, acc2, params, g: int = 128,
                  max_total: int | None = None, acc1_bias: float = 0.0,
-                 acc2_bias: float = 0.0, w_true: int | None = None,
-                 unroll: int = 1):
+                 acc2_bias: float = 0.0, w_true: int | None = None):
     """W-major final fused sweep (right-to-left horizontal + WTA +
     incremental right-view WTA) over a (W, H, D) volume; returns
     (disp16 int32 (H, W), valid bool (H, W)) in the standard image layout.
@@ -948,7 +947,7 @@ def sweep_hw_wta(cost, p1, p2, acc1, acc2, params, g: int = 128,
         packed_ok=packed_ok, min_disp=int(params.min_disparity),
         uniq=float(params.uniqueness_ratio), lr_max_diff=lr_max_diff,
         w_lim=int(w), nblocks=nblocks, acc1_bias=float(acc1_bias),
-        acc2_bias=float(acc2_bias), unroll=int(unroll),
+        acc2_bias=float(acc2_bias),
     )
     spec3 = pl.BlockSpec((g, h, d), imap3, memory_space=pltpu.VMEM)
     spec2 = pl.BlockSpec((h, g), imap2, memory_space=pltpu.VMEM)
