@@ -127,7 +127,7 @@ def run_one(tag: str):
         tracked = int(np.asarray(oks).sum())
         compile_s = time.time() - t0
         log(f"[{label}] compile+first run: {compile_s:.1f}s, "
-            f"tracked {tracked}/{oks.shape[-1] if oks.ndim else N_FRAMES}")
+            f"tracked {tracked}/{np.asarray(oks).size}")
         cw = np.asarray(c_T_w, np.float64)
         if cw.ndim == 4:  # rig: (T, N, 4, 4) -> camera 0
             cw = cw[:, 0]
