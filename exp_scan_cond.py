@@ -105,9 +105,10 @@ def main():
 
     noop = timeit("noop", jax.jit(lambda x: (x.sum(),)),
                   jnp.zeros((8, 128), jnp.float32))
-    f1 = jax.jit(run_seq, donate_argnums=(0,))
+    # No donation: timeit reuses the same state argument across reps.
+    f1 = jax.jit(run_seq)
     t1 = timeit("scan FULL step (bench lat)", f1, mk(), lefts, rights)
-    f2 = jax.jit(run_nocond, donate_argnums=(0,))
+    f2 = jax.jit(run_nocond)
     t2 = timeit("scan attempt-1-only (no cond)", f2, mk(), lefts, rights)
     log(f"cond cost ~ {(t1 - t2) * 1000 / 16:.2f} ms/frame")
 
