@@ -156,6 +156,36 @@ def test_speckle_filter_matches_cv2_oracle():
     assert (d_on == -16).sum() > (d_off == -16).sum()
 
 
+def test_speckle_filter_batched_equals_single():
+    """The custom_vmap batched speckle core (globally-offset flat labels,
+    one sort for the whole batch) must agree with per-frame filtering —
+    covers the round-4 scan+sort rewrite on the stream/rig vmap path."""
+    import jax
+    import jax.numpy as jnp
+    from openvo_tpu.ops.sgbm import _speckle_filter
+
+    left, right, _ = synthetic_pair(4)
+    p = make_params(speckle=True)
+    d16 = np.asarray(
+        jax.jit(lambda l, r: sgbm_disparity(l, r, make_params()))(
+            left, right)) * 16.0
+    d16 = jnp.asarray(np.round(d16).astype(np.int32))
+    valid = d16 >= 0
+    single = np.asarray(
+        jax.jit(lambda d, v: _speckle_filter(d, v, p))(d16, valid))
+    stack_d = jnp.stack([d16, d16, jnp.flip(d16, axis=1)])
+    stack_v = jnp.stack([valid, valid, jnp.flip(valid, axis=1)])
+    batched = np.asarray(jax.jit(jax.vmap(
+        lambda d, v: _speckle_filter(d, v, p)))(stack_d, stack_v))
+    np.testing.assert_array_equal(batched[0], single)
+    np.testing.assert_array_equal(batched[1], single)
+    # The third (flipped) frame must match its own single-frame run:
+    # batching must not leak labels/sizes across frames.
+    single_f = np.asarray(jax.jit(
+        lambda d, v: _speckle_filter(d, v, p))(stack_d[2], stack_v[2]))
+    np.testing.assert_array_equal(batched[2], single_f)
+
+
 def test_sgbm_speckle_filter_removes_islands():
     left, right, _ = synthetic_pair(4)
     p_no = make_params()
