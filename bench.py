@@ -42,7 +42,7 @@ import numpy as np
 TARGET_FPS = 500.0
 IMG_SIZE = (1242, 376)   # KITTI odometry gray resolution
 F, B = 718.0, 0.54       # KITTI-like focal length / baseline
-N_FRAMES = 16
+N_FRAMES = 64            # >= 64 frames / 31.5 m path (VERDICT r4 item 6)
 N_CAMERAS = 8            # rig pass (BASELINE config 4)
 SEQ_CACHE = "/root/repo/.bench_seq.npz"
 SGBM = {
@@ -121,11 +121,21 @@ def run_one(tag: str):
     def mk_state():
         return init_state(cam.cropped_shape, cfg.orb.max_keypoints)
 
+    def cache_entries():
+        try:
+            return len(os.listdir("/root/repo/.jax_cache"))
+        except OSError:
+            return 0
+
     def time_passes(run_fn, mk_st, label, n_work):
+        n_cache0 = cache_entries()
         t0 = time.time()
         state, (oks, c_T_w) = run_fn(mk_st(), lefts, rights)
         tracked = int(np.asarray(oks).sum())
         compile_s = time.time() - t0
+        # cold vs warm compile is observable (VERDICT r4 item 7): a cold
+        # compile writes new persistent-cache entries, a warm one doesn't.
+        compile_cold = cache_entries() > n_cache0
         log(f"[{label}] compile+first run: {compile_s:.1f}s, "
             f"tracked {tracked}/{np.asarray(oks).size}")
         cw = np.asarray(c_T_w, np.float64)
@@ -151,7 +161,8 @@ def run_one(tag: str):
             log(f"[{label}] pass {it}: {dt*1000:.1f} ms for {n_work} "
                 f"frames ({n_work/dt:.1f} fps, {n_ok} ok)")
         return dict(fps=n_work / best, tracked=tracked, ate=ate,
-                    path_len=path_len, compile_s=round(compile_s, 1))
+                    path_len=path_len, compile_s=round(compile_s, 1),
+                    compile_cold=compile_cold)
 
     if tag == "rig":
         step = make_step(cam, cfg, color=False)
@@ -178,7 +189,9 @@ def run_one(tag: str):
 
         r = time_passes(run_rig_j, mk_rig, tag, N_FRAMES * N_CAMERAS)
     elif tag.endswith("-tp"):
-        stream = jax.jit(make_stream_fn(cam, cfg, color=False),
+        # chunk=16: a 64-frame batched extract would hold ~64 x 360 MB of
+        # kernel-materialized sweep volumes (> HBM); 16 is the r4 shape.
+        stream = jax.jit(make_stream_fn(cam, cfg, color=False, chunk=16),
                          donate_argnums=(0,))
         r = time_passes(stream, mk_state, tag, N_FRAMES)
     else:  # latency shape: frame-at-a-time scan of the full step
@@ -228,6 +241,7 @@ def emit(results):
         if r is not None:
             out[f"{key}_fps"] = round(r["fps"], 2)
             out[f"{key}_compile_s"] = r["compile_s"]
+            out[f"{key}_compile_cold"] = r.get("compile_cold")
         else:
             out[f"{key}_fps"] = None
     on = results.get("on-lat")

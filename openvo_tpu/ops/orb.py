@@ -336,8 +336,18 @@ def _descriptors(img_blur, xy, angles, valid, wins=None):
         row = rw + jnp.round(x[None, :] * sa + y[None, :] * ca).astype(jnp.int32)
         return row * size + col  # (K, 256), always in range
 
-    tp = jnp.take_along_axis(wins, local_idx(px, py), axis=1)
-    tq = jnp.take_along_axis(wins, local_idx(qx, qy), axis=1)
+    ip, iq = local_idx(px, py), local_idx(qx, qy)
+    if jax.default_backend() == "tpu":
+        # Gather-free Pallas shift-select (ops/orb_pallas.py): the two
+        # take_along_axis gathers below traced at 2.66 ms/frame (round-5
+        # device trace), over half the ORB budget. 365 is the proven
+        # norm^2 bound on GET_VALUE-rounded rotations of the +-13 pattern.
+        from openvo_tpu.ops.orb_pallas import brief_sample
+
+        tp, tq = brief_sample(wins, ip, iq, rw, 365)
+    else:
+        tp = jnp.take_along_axis(wins, ip, axis=1)
+        tq = jnp.take_along_axis(wins, iq, axis=1)
     bits = (tp < tq).astype(jnp.uint8)
     bits = jnp.where(valid[:, None], bits, 0)
     return pack_bits(bits)
@@ -377,6 +387,14 @@ def detect_and_compute(img, mask, params: ORBParams):
     imgf = img.astype(jnp.float32)
     nl = params.nlevels
     b = params.edge_threshold
+    if b < BRIEF_WIN + 3:
+        # The batched-pyramid (45, 45) raw windows assume keypoints are
+        # >= 22 px inside their level; a smaller edge_threshold would read
+        # zero-canvas pixels across level borders (ADVICE r4) — fail
+        # loudly rather than return silently-wrong descriptors.
+        raise ValueError(
+            f"edge_threshold={b} < {BRIEF_WIN + 3}: the batched raw-window"
+            " pipeline needs keypoints >= 22 px inside their level")
     budgets = features_per_level(params.nfeatures, nl, params.scale_factor)
 
     dims = []
@@ -473,7 +491,16 @@ def detect_and_compute(img, mask, params: ORBParams):
     xy_flat = xy2.reshape(-1, 2)
     resp_flat = top_vals.reshape(-1)
     valid_flat = valid2.reshape(-1)
-    order_key = jnp.where(valid_flat, jnp.arange(n, dtype=jnp.int32), n + 1)
+    if sum(k_eff) > K:
+        # More valid keypoints than capacity is statically possible
+        # (budget rounding + the per-level floor of 1 can push
+        # sum(k_eff) past nfeatures): keep the K BEST by response across
+        # levels, like the pre-batched truncation did — not the first K
+        # in level-major order (ADVICE r4).
+        order_key = jnp.where(valid_flat, -resp_flat, jnp.inf)
+    else:
+        order_key = jnp.where(valid_flat,
+                              jnp.arange(n, dtype=jnp.float32), jnp.inf)
     perm = jnp.argsort(order_key)
     if n > K:
         perm = perm[:K]
@@ -499,6 +526,12 @@ def detect_and_compute(img, mask, params: ORBParams):
     # gaussian AND the second per-keypoint DMA slice set (the window DMAs
     # were a top ORB cost, exp_orb_bisect round 4).
     rw = BRIEF_WIN + 3  # 19 + blur radius
+    # Window extraction stays on XLA dynamic-slices (0.68 ms/frame, r5
+    # trace): a Pallas DMA replacement was built and rejected — Mosaic
+    # DMAs require (8, 128)-aligned slice starts AND shapes (measured:
+    # "Slice shape along dimension 1/2 must be aligned to tiling"), so
+    # per-keypoint windows would need (56, 256) aligned over-copies plus
+    # an in-kernel dynamic realignment whose cost cancels the win.
     wins_raw = _patch_windows_stack(stack, octv, xy_lvl, rw)  # (K, 45, 45)
     c0 = rw - HALF_PATCH
     wins_o = wins_raw[:, c0:c0 + 2 * HALF_PATCH + 1,

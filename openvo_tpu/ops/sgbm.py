@@ -461,9 +461,32 @@ def _speckle_filter_batched(disp16, valid, params: SGBMParams):
     idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
            + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
     labels = jnp.broadcast_to(idx.astype(jnp.float32), (B, H, W))
-    for _ in range(10):
-        labels = _run_min(labels, conn_x, axis=-1)
-        labels = _run_min(labels, conn_y, axis=-2)
+
+    def one_round(lab):
+        lab = _run_min(lab, conn_x, axis=-1)
+        return _run_min(lab, conn_y, axis=-2)
+
+    # 4 unrolled rounds fully converge on real SGBM output (measured,
+    # exp_speckle2); high-tortuosity components (spirals/serpentines) can
+    # need O(#bends) rounds, so a convergence-checked while_loop finishes
+    # the tail instead of a fixed count (ADVICE r4: a fixed 10 rounds
+    # under-merged adversarial shapes, undercounting their sizes). Labels
+    # only ever decrease, so convergence is guaranteed; the loop bound is
+    # a never-reached safety cap.
+    for _ in range(4):
+        labels = one_round(labels)
+
+    def _cond(state):
+        i, _, changed = state
+        return changed & (i < H * W)
+
+    def _body(state):
+        i, lab, _ = state
+        new = one_round(lab)
+        return i + 1, new, jnp.any(new != lab)
+
+    _, labels, _ = jax.lax.while_loop(
+        _cond, _body, (jnp.int32(0), labels, jnp.bool_(True)))
 
     offs = (jnp.arange(B, dtype=jnp.int32) * n)[:, None]
     lab = (labels.astype(jnp.int32).reshape(B, n) + offs).reshape(-1)

@@ -767,16 +767,20 @@ def sweep_h_wta(cost, p1, p2, accum, params, g: int = 128,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(cost, accum)
+    if lr_max_diff >= 0:
+        # dR(x) = bestR[x - best(x)] via the gather-free shift-select
+        # kernel (lr_lookup; the take_along_axis it replaced traced at
+        # 4.5 ms/frame). Runs on the pad-wide maps (shared coordinates);
+        # the left band (x - best < 0) reads junk and is overridden below.
+        d_r = lr_lookup(best, best_r, d)
     if pad_left:
         disp16, valid = disp16[:, pad_left:], valid[:, pad_left:]
-        best, best_r = best[:, pad_left:], best_r[:, pad_left:]
+        best = best[:, pad_left:]
+        if lr_max_diff >= 0:
+            d_r = d_r[:, pad_left:]
     valid = valid.astype(bool)
     if lr_max_diff >= 0:
-        # dR(x) = bestR[x - best(x)]: a tiny (H, W) gather along rows —
-        # cheaper in XLA than threading it through the ring kernel.
         x = jnp.arange(w, dtype=jnp.int32)[None, :]
-        idx = jnp.clip(x - best, 0, w - 1)
-        d_r = jnp.take_along_axis(best_r, idx, axis=1)
         ok = (jnp.abs(best - d_r) <= lr_max_diff) | (x - best < 0)
         # best_r = D encodes "no contribution seen" (compare fallback);
         # packed mode can't produce it, and cv2 treats missing right
@@ -784,6 +788,67 @@ def sweep_h_wta(cost, p1, p2, accum, params, g: int = 128,
         # reproduces for every real best.
         valid &= ok
     return disp16, valid
+
+
+# ---------------------------------------------------------------------------
+# Left-right-check lookup: d_r(x) = bestR[x - best(x)], gather-free.
+#
+# The round-4 implementation was a jnp.take_along_axis on the (H, W) maps,
+# annotated "tiny gather — cheaper in XLA than threading it through the ring
+# kernel". The first real device trace (round 5) showed that ONE op was
+# 4.5 ms/frame — half the whole SGBM budget — at the ~10 ns/element XLA:TPU
+# gather rate. Since best(x) < D, the lookup is a D-way SHIFT-SELECT with
+# purely static slices: out = select(best == s, window_shifted_by_s) over
+# s = 0..D-1, which is ~0.26 VPU ops/element instead of a gather.
+# ---------------------------------------------------------------------------
+
+
+def _lr_lookup_kernel(*refs, d, g, nprev):
+    best_ref, out_ref, win_ref = refs[0], refs[-2], refs[-1]
+    win_refs = refs[1:-2]
+    for k, r in enumerate(win_refs):
+        win_ref[:, k * g:(k + 1) * g] = r[...]
+    best = best_ref[...]
+    base = nprev * g
+    dr = jnp.zeros_like(best)
+    # Per-iteration REF slice reads (not slices of one loaded value): each
+    # window view lives for a single select, so Mosaic's stack allocator
+    # reuses one buffer instead of keeping d sliced temporaries live (a
+    # value-slicing version stack-OOMed scoped VMEM at 41 MB).
+    for s in range(d):
+        dr = jnp.where(best == s, win_ref[:, base - s:base + g - s], dr)
+    out_ref[...] = dr
+
+
+def lr_lookup(best, best_r, d: int, g: int = 128):
+    """Row-wise lookup ``d_r[h, x] = best_r[h, x - best[h, x]]`` for
+    ``best`` values in [0, d); positions with ``x - best < 0`` return
+    unspecified values (every caller overrides them with the explicit
+    left-band term). Both maps are (H, Wp) int32 with Wp a multiple of g;
+    returns (H, Wp) int32."""
+    h, wp = best.shape
+    if wp % g:
+        raise ValueError(f"width {wp} not a multiple of {g=}")
+    nprev = max(1, -(-(d - 1) // g))
+    bpad = jnp.zeros((h, nprev * g), best_r.dtype)
+    best_r_p = jnp.concatenate([bpad, best_r], axis=1)
+    spec = pl.BlockSpec((h, g), lambda i: (0, i), memory_space=pltpu.VMEM)
+    win_specs = [
+        pl.BlockSpec((h, g), lambda i, k=k: (0, i + k),
+                     memory_space=pltpu.VMEM)
+        for k in range(nprev + 1)
+    ]
+    return pl.pallas_call(
+        functools.partial(_lr_lookup_kernel, d=d, g=g, nprev=nprev),
+        grid=(wp // g,),
+        in_specs=[spec] + win_specs,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((h, wp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((h, (nprev + 1) * g), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(best, *([best_r_p] * (nprev + 1)))
 
 
 def _sweep_hw_wta_kernel(c_ref, acc1_ref, acc2_ref, mins_ref, sm_ref,
@@ -968,6 +1033,14 @@ def sweep_hw_wta(cost, p1, p2, acc1, acc2, params, g: int = 128,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(cost, acc1, acc2)
+    best_p = packed & 1023
+    if lr_max_diff >= 0:
+        # dR(x) = bestR[x - best(x)] via the gather-free shift-select
+        # kernel (the take_along_axis it replaced traced at 4.5 ms/frame
+        # — half the SGBM budget). Pad-wide: shared coordinates.
+        d_r = lr_lookup(best_p, (packed >> 10) & 1023, d)
+        if wp != w:
+            d_r = d_r[:, :w]
     if wp != w:
         min_s, s_m = min_s[:, :w], s_m[:, :w]
         s_p, packed = s_p[:, :w], packed[:, :w]
@@ -975,7 +1048,6 @@ def sweep_hw_wta(cost, p1, p2, acc1, acc2, params, g: int = 128,
     # --- XLA post-pass on (H, W) maps: subpixel, uniqueness, validity ---
     # (mirrors _wta_cols exactly; maps are 128x cheaper than volume ops).
     best = packed & 1023
-    best_r = (packed >> 10) & 1023
     bad = packed >> 20
     min_f = min_s.astype(jnp.float32)
     s_mf = s_m.astype(jnp.float32)
@@ -993,9 +1065,6 @@ def sweep_hw_wta(cost, p1, p2, acc1, acc2, params, g: int = 128,
     x = jnp.arange(w, dtype=jnp.int32)[None, :]
     valid &= (x - (best + int(params.min_disparity))) >= 0
     if lr_max_diff >= 0:
-        # dR(x) = bestR[x - best(x)]: tiny (H, W) gather (see sweep_h_wta).
-        idx = jnp.clip(x - best, 0, w - 1)
-        d_r = jnp.take_along_axis(best_r, idx, axis=1)
         ok = (jnp.abs(best - d_r) <= lr_max_diff) | (x - best < 0)
         valid &= ok
     return disp16, valid
@@ -1045,7 +1114,13 @@ def aggregate_wta(cost, params, cost_max: int | None):
             return jnp.float32, 0.0
 
     # Forward horizontal sweep first; the reverse one is fused with WTA.
-    s1 = sweep_h(cost, p1, p2, False, out_dtype=partial_enc(1)[0])
+    # sweep_h has no store-bias support, so when enc(1) would need the
+    # biased-int16 window (per_dir > 32767) store s1 as int32 instead —
+    # _finish_from_s1 reads s1 with acc_bias 0 either way (ADVICE r4).
+    s1_dt, s1_b = partial_enc(1)
+    if s1_b:
+        s1_dt = jnp.int32
+    s1 = sweep_h(cost, p1, p2, False, out_dtype=s1_dt)
     return _finish_from_s1(cost, s1, params, p1, p2, partial_enc,
                            max_total)
 

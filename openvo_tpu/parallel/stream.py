@@ -14,8 +14,8 @@ state machine consumes exactly the same FrameFeatures in the same order
 (tests/test_parallel.py asserts this).
 
 **This shape is NOT faster than frame-at-a-time stepping on one chip**
-(measured round 4: 32 fps vs 42 fps latency shape at KITTI resolution;
-round 3: 41.4 vs 44.0). The v5e has one TensorCore, the Pallas sweeps are
+(BENCH_r04.json: 45.97 fps vs 58.99 fps latency shape at KITTI
+resolution; round 3: 41.4 vs 44.0). The v5e has one TensorCore, the Pallas sweeps are
 sequential grids, and per-frame kernels already saturate it — vmap
 concatenates grids rather than parallelizing them, while the batched
 extract multiplies live cost-volume footprint and HBM pressure. The value

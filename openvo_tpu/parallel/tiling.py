@@ -226,27 +226,33 @@ def _tiled_core_pallas(left_t, right_t, params, n_dev, cap, sentinel):
     edge_flags = jnp.stack([(idx == 0).astype(jnp.int32),
                             (idx == n_dev - 1).astype(jnp.int32)])
     lp2, llo, lhi, rp2, rlo, rhi = SP.prep_x2_envelopes(lp, rp)
+    # enc(1) bias must be both APPLIED at the store (s1_bias) and undone at
+    # the first wavefront's accum read (acc_bias) — the single-chip path
+    # does the same; storing biased-dtype values unbiased wraps int16 for
+    # per_dir > 32767 configs (ADVICE r4).
+    s1_dt, s1_b = enc(1)
     C_band, s1_band = SP.cost_sweep_fused(
         lp2, llo, lhi, rp2, rlo, rhi, params, int(sentinel), p1, p2,
-        s1_dtype=enc(1)[0], band_halo=halo, edge_flags=edge_flags)
+        s1_dtype=s1_dt, s1_bias=s1_b, band_halo=halo,
+        edge_flags=edge_flags)
     C = C_band[halo:halo + h_t]
     s1 = s1_band[halo:halo + h_t]
 
     if params.num_paths == 5:
         dt3, b3 = enc(4)
         s3 = _vertical_wavefront_pallas(C, s1, (0, 1, -1), p1, p2, False,
-                                        n_dev, dt3, 0.0, b3)
+                                        n_dev, dt3, s1_b, b3)
     elif params.num_paths == 4:
         dt2, b2 = enc(2)
         s2 = _vertical_wavefront_pallas(C, s1, (0,), p1, p2, False,
-                                        n_dev, dt2, 0.0, b2)
+                                        n_dev, dt2, s1_b, b2)
         dt3, b3 = enc(3)
         s3 = _vertical_wavefront_pallas(C, s2, (0,), p1, p2, True,
                                         n_dev, dt3, b2, b3)
     else:
         dt2, b2 = enc(4)
         s2 = _vertical_wavefront_pallas(C, s1, (0, 1, -1), p1, p2, False,
-                                        n_dev, dt2, 0.0, b2)
+                                        n_dev, dt2, s1_b, b2)
         dt3, b3 = enc(7)
         s3 = _vertical_wavefront_pallas(C, s2, (0, 1, -1), p1, p2, True,
                                         n_dev, dt3, b2, b3)

@@ -197,3 +197,39 @@ def test_topk_flat_matches_lax_topk_with_ties():
         v2, i2 = jax.jit(lambda v: _topk_flat(v, k))(xj)
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_brief_sample_kernel_matches_gather():
+    """The Pallas shift-select BRIEF sampler must equal take_along_axis for
+    GET_VALUE-rounded rotated pattern indices at arbitrary angles (also
+    validates the reachable-position set: a position outside it would
+    return 0 instead of the window value)."""
+    import jax.numpy as jnp
+
+    from openvo_tpu.ops.orb import BRIEF_WIN, brief_pattern
+    from openvo_tpu.ops.orb_pallas import brief_sample
+
+    rng = np.random.default_rng(3)
+    K, rw = 200, BRIEF_WIN  # deliberately NOT a multiple of 128
+    size = 2 * rw + 1
+    wins = rng.standard_normal((K, size * size)).astype(np.float32)
+    pat = np.asarray(brief_pattern(), np.float32)
+    ang = rng.uniform(-np.pi, np.pi, size=K).astype(np.float32)
+    ca, sa = np.cos(ang)[:, None], np.sin(ang)[:, None]
+
+    def idx(x, y):
+        col = rw + np.round(x[None, :] * ca - y[None, :] * sa).astype(np.int32)
+        row = rw + np.round(x[None, :] * sa + y[None, :] * ca).astype(np.int32)
+        assert (col >= 0).all() and (col < size).all()
+        assert (row >= 0).all() and (row < size).all()
+        return row * size + col
+
+    ip = idx(pat[:, 0], pat[:, 1])
+    iq = idx(pat[:, 2], pat[:, 3])
+    tp, tq = brief_sample(jnp.asarray(wins), jnp.asarray(ip),
+                          jnp.asarray(iq), rw, 365)
+    np.testing.assert_array_equal(
+        np.asarray(tp), np.take_along_axis(wins, ip, axis=1))
+    np.testing.assert_array_equal(
+        np.asarray(tq), np.take_along_axis(wins, iq, axis=1))
+

@@ -199,3 +199,63 @@ def test_sgbm_speckle_filter_removes_islands():
     # Values of surviving pixels unchanged.
     np.testing.assert_array_equal(d_no[still_valid], d_sp[still_valid])
     del newly_invalid
+
+
+def test_lr_lookup_matches_gather_oracle():
+    """The gather-free shift-select LR lookup (sgbm_pallas.lr_lookup) must
+    equal best_r[x - best(x)] wherever x - best >= 0 (the only region its
+    callers consume; the left band is overridden by an explicit term)."""
+    import jax.numpy as jnp
+
+    from openvo_tpu.ops.sgbm_pallas import lr_lookup
+
+    rng = np.random.default_rng(7)
+    h, wp, d = 48, 384, 128
+    best = rng.integers(0, d, size=(h, wp)).astype(np.int32)
+    best_r = rng.integers(0, d + 1, size=(h, wp)).astype(np.int32)
+    out = np.asarray(lr_lookup(jnp.asarray(best), jnp.asarray(best_r), d))
+    x = np.arange(wp)[None, :]
+    idx = x - best
+    ok = idx >= 0
+    oracle = np.take_along_axis(best_r, np.clip(idx, 0, wp - 1), axis=1)
+    assert (out[ok] == oracle[ok]).all()
+
+
+def test_speckle_filter_spiral_worst_case():
+    """High-tortuosity component (ADVICE r4): a long spiral of uniform
+    disparity needs O(#bends) labeling rounds — far beyond the fixed
+    count that converges on real SGBM maps. The convergence-checked loop
+    must label it as ONE component (size > window => kept), and small
+    detached islands must still be removed; verified against the
+    cv2.filterSpeckles oracle on the same map."""
+    import jax
+    import jax.numpy as jnp
+    from openvo_tpu.ops.sgbm import _speckle_filter
+
+    H, W = 96, 128
+    d = np.full((H, W), -16, np.int16)
+    # Rectangular inward spiral of disparity 80 (x16 grid), 1px wide arms.
+    top, bot, lft, rgt = 2, H - 3, 2, W - 3
+    while lft < rgt - 4 and top < bot - 4:
+        d[top, lft:rgt + 1] = 80
+        d[top:bot + 1, rgt] = 80
+        d[bot, lft + 2:rgt + 1] = 80
+        d[top + 2:bot + 1, lft] = 80
+        top += 2
+        bot -= 2
+        lft += 2
+        rgt -= 2
+    # A few small islands that must be filtered out.
+    d[1, 0] = 80
+    d[H - 1, W - 1:W] = 80
+    p = make_params(speckle=True)  # window 100, range 2
+    ref = d.copy()
+    cv2.filterSpeckles(ref, -16, p.speckle_window_size,
+                       16 * p.speckle_range)
+    d16 = jnp.asarray(d.astype(np.int32))
+    keep = np.asarray(jax.jit(
+        lambda x: _speckle_filter(x, x >= 0, p))(d16))
+    ours = np.where(keep, d, -16)
+    np.testing.assert_array_equal(ours, ref)
+    # sanity: the spiral is genuinely large and survived
+    assert (ours == 80).sum() > p.speckle_window_size
