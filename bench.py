@@ -43,6 +43,7 @@ TARGET_FPS = 500.0
 IMG_SIZE = (1242, 376)   # KITTI odometry gray resolution
 F, B = 718.0, 0.54       # KITTI-like focal length / baseline
 N_FRAMES = 64            # >= 64 frames / 31.5 m path (VERDICT r4 item 6)
+RENDER_TAG = 2           # bump when the scene geometry/params change
 N_CAMERAS = 8            # rig pass (BASELINE config 4)
 SEQ_CACHE = "/root/repo/.bench_seq.npz"
 SGBM = {
@@ -78,16 +79,23 @@ def get_sequence():
         try:
             with np.load(SEQ_CACHE) as z:
                 seq = {k: z[k] for k in z.files}
-            if seq["left"].shape[0] == N_FRAMES:
+            if (seq["left"].shape[0] == N_FRAMES
+                    and int(seq.get("render_tag", 0)) == RENDER_TAG):
                 log(f"loaded cached sequence from {SEQ_CACHE}")
                 return seq
         except Exception as e:  # noqa: BLE001 - corrupt cache: re-render
             log(f"seq cache load failed ({e}); re-rendering")
     from openvo_tpu.io.synthetic import render_stereo_sequence
     t0 = time.time()
+    # Corridor sized for the 31.5 m path: the camera must neither reach
+    # the back wall (valid-disparity band needs >= ~4 m of scene ahead)
+    # nor drift into a side wall (steady yaw accumulates ~4 m laterally).
     seq = render_stereo_sequence(n_frames=N_FRAMES, img_size=IMG_SIZE, f=F,
-                                 baseline=B, seed=0, step=0.5, yaw_rate=0.004)
+                                 baseline=B, seed=0, step=0.5,
+                                 yaw_rate=0.004, corridor_length=80.0,
+                                 corridor_half_width=7.0)
     log(f"rendered {N_FRAMES} frames at {IMG_SIZE} in {time.time()-t0:.1f}s")
+    seq["render_tag"] = np.asarray(RENDER_TAG)
     try:
         np.savez(SEQ_CACHE, **{k: np.asarray(v) for k, v in seq.items()})
     except Exception as e:  # noqa: BLE001 - cache is best-effort

@@ -62,24 +62,25 @@ def _sample_texture(tex, u, v):
     )
 
 
-def corridor_planes():
+def corridor_planes(length: float = 30.0, half_width: float = 3.0):
     """A corridor of 4 textured planes (floor, two walls, back wall), meters.
 
     Each plane: (p0, n, e1, e2, tex_scale) with n the outward normal facing
-    the camera path (camera moves along +z, y points down).
-    """
+    the camera path (camera moves along +z, y points down). ``length`` is
+    the back-wall distance and ``half_width`` the wall offset — long
+    sequences must size these so the trajectory (forward travel plus the
+    lateral drift a steady yaw accumulates) stays inside the geometry
+    with usable depth margin (round-5 bench: the 31.5 m path drove the
+    camera through the default z=30 wall and into the x=+3 wall)."""
     return [
         # floor at y = +1.2 (y-down camera convention)
         (np.array([0, 1.2, 0.0]), np.array([0, -1.0, 0]),
          np.array([1.0, 0, 0]), np.array([0, 0, 1.0]), 60.0),
-        # left wall at x = -3
-        (np.array([-3.0, 0, 0]), np.array([1.0, 0, 0]),
+        (np.array([-half_width, 0, 0]), np.array([1.0, 0, 0]),
          np.array([0, 0, 1.0]), np.array([0, 1.0, 0]), 60.0),
-        # right wall at x = +3
-        (np.array([3.0, 0, 0]), np.array([-1.0, 0, 0]),
+        (np.array([half_width, 0, 0]), np.array([-1.0, 0, 0]),
          np.array([0, 0, 1.0]), np.array([0, 1.0, 0]), 60.0),
-        # back wall at z = 30
-        (np.array([0, 0, 30.0]), np.array([0, 0, -1.0]),
+        (np.array([0, 0, length]), np.array([0, 0, -1.0]),
          np.array([1.0, 0, 0]), np.array([0, 1.0, 0]), 60.0),
     ]
 
@@ -166,7 +167,8 @@ def camera_trajectory(n_frames: int, step: float = 0.1, yaw_rate: float = 0.004)
 
 
 def render_stereo_sequence(n_frames=6, img_size=(320, 240), f=280.0,
-                           baseline=0.5, seed=0, step=0.1, yaw_rate=0.004):
+                           baseline=0.5, seed=0, step=0.1, yaw_rate=0.004,
+                           corridor_length=30.0, corridor_half_width=3.0):
     """Full synthetic sequence: stereo images + ground-truth poses.
 
     Returns dict with keys: left (n,H,W) float32, right (n,H,W), T_wc
@@ -174,7 +176,7 @@ def render_stereo_sequence(n_frames=6, img_size=(320, 240), f=280.0,
     """
     rng = np.random.default_rng(seed)
     tex = make_texture(rng)
-    planes = corridor_planes()
+    planes = corridor_planes(corridor_length, corridor_half_width)
     K, dist, R, T = make_rig(img_size, f, baseline)
     poses = camera_trajectory(n_frames, step, yaw_rate)
 

@@ -808,16 +808,28 @@ def _lr_lookup_kernel(*refs, d, g, nprev):
     win_refs = refs[1:-2]
     for k, r in enumerate(win_refs):
         win_ref[:, k * g:(k + 1) * g] = r[...]
-    best = best_ref[...]
+    h = best_ref.shape[0]
     base = nprev * g
-    dr = jnp.zeros_like(best)
-    # Per-iteration REF slice reads (not slices of one loaded value): each
-    # window view lives for a single select, so Mosaic's stack allocator
-    # reuses one buffer instead of keeping d sliced temporaries live (a
-    # value-slicing version stack-OOMed scoped VMEM at 41 MB).
-    for s in range(d):
-        dr = jnp.where(best == s, win_ref[:, base - s:base + g - s], dr)
-    out_ref[...] = dr
+    # Row-chunked, register-held window with an INCREMENTAL lane roll:
+    # iteration s selects the FIXED aligned slice [base, base+g) of the
+    # s-times-rolled window (wrapped lanes stay below base = nprev*g
+    # because s <= d-1 <= nprev*g). A first version
+    # re-sliced the window REF at lane offset base-s each iteration —
+    # every read lane-unaligned, costing a relayout (traced at
+    # 0.23 ms/frame); rolling a register-held chunk by 1 keeps every
+    # access aligned. Chunks bound register pressure; h is a multiple of
+    # 8 on every production shape, otherwise fall back to one chunk.
+    ch = 64 if h % 8 == 0 else h
+    for c0 in range(0, h, ch):
+        c1 = min(c0 + ch, h)
+        W = win_ref[c0:c1, :]
+        best = best_ref[c0:c1, :]
+        dr = jnp.zeros_like(best)
+        for s in range(d):
+            if s:
+                W = jnp.roll(W, 1, axis=1)
+            dr = jnp.where(best == s, W[:, base:base + g], dr)
+        out_ref[c0:c1, :] = dr
 
 
 def lr_lookup(best, best_r, d: int, g: int = 128):
