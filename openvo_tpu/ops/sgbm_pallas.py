@@ -808,28 +808,20 @@ def _lr_lookup_kernel(*refs, d, g, nprev):
     win_refs = refs[1:-2]
     for k, r in enumerate(win_refs):
         win_ref[:, k * g:(k + 1) * g] = r[...]
-    h = best_ref.shape[0]
+    best = best_ref[...]
     base = nprev * g
-    # Row-chunked, register-held window with an INCREMENTAL lane roll:
-    # iteration s selects the FIXED aligned slice [base, base+g) of the
-    # s-times-rolled window (wrapped lanes stay below base = nprev*g
-    # because s <= d-1 <= nprev*g). A first version
-    # re-sliced the window REF at lane offset base-s each iteration —
-    # every read lane-unaligned, costing a relayout (traced at
-    # 0.23 ms/frame); rolling a register-held chunk by 1 keeps every
-    # access aligned. Chunks bound register pressure; h is a multiple of
-    # 8 on every production shape, otherwise fall back to one chunk.
-    ch = 64 if h % 8 == 0 else h
-    for c0 in range(0, h, ch):
-        c1 = min(c0 + ch, h)
-        W = win_ref[c0:c1, :]
-        best = best_ref[c0:c1, :]
-        dr = jnp.zeros_like(best)
-        for s in range(d):
-            if s:
-                W = jnp.roll(W, 1, axis=1)
-            dr = jnp.where(best == s, W[:, base:base + g], dr)
-        out_ref[c0:c1, :] = dr
+    dr = jnp.zeros_like(best)
+    # Per-iteration REF slice reads (not slices of one loaded value): each
+    # window view lives for a single select, so Mosaic's stack allocator
+    # reuses one buffer instead of keeping d sliced temporaries live (a
+    # value-slicing version stack-OOMed scoped VMEM at 41 MB). The
+    # lane-unaligned reads cost a relayout each (0.23 ms/frame total) —
+    # but the "fix" of rolling a register-held chunk by one lane per
+    # iteration measured WORSE (0.51 ms): d serial data-dependent rolls
+    # cannot pipeline, while the independent unaligned reads can.
+    for s in range(d):
+        dr = jnp.where(best == s, win_ref[:, base - s:base + g - s], dr)
+    out_ref[...] = dr
 
 
 def lr_lookup(best, best_r, d: int, g: int = 128):
@@ -867,7 +859,7 @@ def _sweep_hw_wta_kernel(c_ref, acc1_ref, acc2_ref, mins_ref, sm_ref,
                          sp_ref, packed_ref, carry_ref, ring_ref, buf_ref,
                          *, p1, p2, g, int_mode, packed_ok, min_disp, uniq,
                          lr_max_diff, w_lim, nblocks, acc1_bias,
-                         acc2_bias):
+                         acc2_bias, use_dots):
     """W-major final sweep: identical semantics to _sweep_h_wta_kernel but
     over a (W, H, D) volume, so each column access c_ref[j] is one aligned
     (H, D) tile-plane load instead of an (H, 1, D) single-sublane masked
@@ -956,20 +948,38 @@ def _sweep_hw_wta_kernel(c_ref, acc1_ref, acc2_ref, mins_ref, sm_ref,
                            keepdims=True).astype(jnp.int32)
         best_f = best.astype(jnp.float32)
 
-        def lane_dot(x):  # (h, d) @ (d, 1) sum over lanes on the MXU
-            return jax.lax.dot_general(
-                x, ones_col, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        s_m = lane_dot(jnp.where(d_f == jnp.maximum(best_f - 1, 0.0),
-                                 sf, 0.0))
-        s_p = lane_dot(jnp.where(d_f == jnp.minimum(best_f + 1,
-                                                    float(d - 1)), sf, 0.0))
+        # s_m/s_p select exactly ONE lane each, so a masked lane-MIN and a
+        # masked lane-SUM are value-identical IN EXACT ARITHMETIC — but
+        # the MXU dot path (default precision) rounds f32 operands
+        # through bf16 passes, flipping the subpixel disp16 by +-1 LSB on
+        # ~1% of pixels (measured r5). The VPU lane-reduce engine is
+        # exact and timing-equivalent, so it is the default; use_dots
+        # remains for measurement.
+        m_mask = d_f == jnp.maximum(best_f - 1, 0.0)
+        p_mask = d_f == jnp.minimum(best_f + 1, float(d - 1))
         if uniq > 0:
             far = jnp.abs(d_f - best_f) > 1.0
             viol = far & (sf * (100.0 - uniq) < min_s * 100.0)
-            bad = (lane_dot(viol.astype(jnp.float32)) > 0).astype(jnp.int32)
+        if use_dots:
+            def lane_dot(x):  # (h, d) @ (d, 1) sum over lanes on the MXU
+                return jax.lax.dot_general(
+                    x, ones_col, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            s_m = lane_dot(jnp.where(m_mask, sf, 0.0))
+            s_p = lane_dot(jnp.where(p_mask, sf, 0.0))
+            if uniq > 0:
+                bad = (lane_dot(viol.astype(jnp.float32)) > 0
+                       ).astype(jnp.int32)
         else:
+            s_m = jnp.min(jnp.where(m_mask, sf, BIG_F), axis=-1,
+                          keepdims=True)
+            s_p = jnp.min(jnp.where(p_mask, sf, BIG_F), axis=-1,
+                          keepdims=True)
+            if uniq > 0:
+                bad = jnp.any(viol, axis=-1, keepdims=True
+                              ).astype(jnp.int32)
+        if uniq <= 0:
             bad = jnp.zeros((h, 1), jnp.int32)
 
         # --- lane-pack the column's reduction results into lane j ---
@@ -991,7 +1001,8 @@ def _sweep_hw_wta_kernel(c_ref, acc1_ref, acc2_ref, mins_ref, sm_ref,
 
 def sweep_hw_wta(cost, p1, p2, acc1, acc2, params, g: int = 128,
                  max_total: int | None = None, acc1_bias: float = 0.0,
-                 acc2_bias: float = 0.0, w_true: int | None = None):
+                 acc2_bias: float = 0.0, w_true: int | None = None,
+                 use_dots: bool = False):
     """W-major final fused sweep (right-to-left horizontal + WTA +
     incremental right-view WTA) over a (W, H, D) volume; returns
     (disp16 int32 (H, W), valid bool (H, W)) in the standard image layout.
@@ -1024,7 +1035,7 @@ def sweep_hw_wta(cost, p1, p2, acc1, acc2, params, g: int = 128,
         packed_ok=packed_ok, min_disp=int(params.min_disparity),
         uniq=float(params.uniqueness_ratio), lr_max_diff=lr_max_diff,
         w_lim=int(w), nblocks=nblocks, acc1_bias=float(acc1_bias),
-        acc2_bias=float(acc2_bias),
+        acc2_bias=float(acc2_bias), use_dots=use_dots,
     )
     spec3 = pl.BlockSpec((g, h, d), imap3, memory_space=pltpu.VMEM)
     spec2 = pl.BlockSpec((h, g), imap2, memory_space=pltpu.VMEM)
