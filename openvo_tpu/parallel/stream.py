@@ -14,15 +14,18 @@ state machine consumes exactly the same FrameFeatures in the same order
 (tests/test_parallel.py asserts this).
 
 **This shape is NOT faster than frame-at-a-time stepping on one chip**
-(BENCH_r04.json: 45.97 fps vs 58.99 fps latency shape at KITTI
-resolution; round 3: 41.4 vs 44.0). The v5e has one TensorCore, the Pallas sweeps are
-sequential grids, and per-frame kernels already saturate it — vmap
-concatenates grids rather than parallelizing them, while the batched
-extract multiplies live cost-volume footprint and HBM pressure. The value
-of this shape is (a) the building block for MULTI-chip frame sharding
-(parallel/sharding.py), where each shard extracts its frame block batched,
-and (b) bounded-memory chunked processing of long sequences. bench.py
-reports it as ``stream_fps`` next to the headline latency shape.
+(round 5: 95.3 fps vs 122.6 latency at KITTI resolution; round 4:
+45.97 vs 58.99). The round-5 device traces attribute the gap precisely
+(9.90 vs 7.54 ms/frame device-busy): the Pallas kernels batch cleanly
+(vmap prepends a batch grid axis; per-frame cost unchanged), but XLA's
+vmapped ELEMENTWISE fusions pessimize — the batched FAST/Harris/blur
+pixel fusions run 2-4x their per-frame cost and the per-keypoint window
+update-slices go from 0.9 us to 2.0 us each under the batch dimension.
+The value of this shape is (a) the building block for MULTI-chip frame
+sharding (parallel/sharding.py), where each shard extracts its frame
+block batched, and (b) bounded-memory chunked processing of long
+sequences. bench.py reports it as ``stream_fps`` next to the headline
+latency shape.
 """
 
 from __future__ import annotations

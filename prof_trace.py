@@ -67,6 +67,21 @@ def main(tag):
         with jax.profiler.trace(outdir):
             _, (oks, _) = run_j(mk(), lefts, rights)
             _ = int(np.asarray(oks.sum()))
+    elif tag == "stream":
+        from openvo_tpu.models.stereo_odometer import init_state
+        from openvo_tpu.parallel.stream import make_stream_fn
+        stream = jax.jit(make_stream_fn(cam, cfg, color=False, chunk=16))
+
+        def mk():
+            return init_state(cam.cropped_shape, cfg.orb.max_keypoints)
+
+        t0 = time.time()
+        _, (oks, _) = stream(mk(), lefts, rights)
+        log(f"compile+first: {time.time()-t0:.1f}s, "
+            f"tracked {int(np.asarray(oks).sum())}/{oks.shape[0]}")
+        with jax.profiler.trace(outdir):
+            _, (oks, _) = stream(mk(), lefts, rights)
+            _ = int(np.asarray(oks.sum()))
     elif tag == "sgbm":
         from openvo_tpu.ops import sgbm
         p = cam.sgbm
