@@ -457,7 +457,14 @@ def detect_and_compute(img, mask, params: ORBParams):
         resp_l = resp[lv, :h_l, :w_l].reshape(-1)
         if not params.cv2_ranking:
             flat = jnp.where(corner_l, resp_l, -jnp.inf)
-            tv, ti = _topk_flat(flat, P)
+            # Select only THIS level's budget (rows past it are masked by
+            # rank < budget anyway); top-k cost scales with k, and P is
+            # level 0's budget — 2x+ the small levels' need.
+            tv, ti = _topk_flat(flat, k_eff[lv])
+            if k_eff[lv] < P:
+                tv = jnp.pad(tv, (0, P - k_eff[lv]),
+                             constant_values=-jnp.inf)
+                ti = jnp.pad(ti, (0, P - k_eff[lv]))
         else:
             # Stage 1: best 2k by FAST score (cv2's pre-Harris
             # retainBest); stage 2: among those, best k by Harris.
