@@ -204,7 +204,11 @@ def test_brief_sample_kernel_matches_gather():
     GET_VALUE-rounded rotated pattern indices at arbitrary angles (also
     validates the reachable-position set: a position outside it would
     return 0 instead of the window value)."""
+    import jax
     import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("Pallas TPU kernel (production path is TPU-gated)")
 
     from openvo_tpu.ops.orb import BRIEF_WIN, brief_pattern
     from openvo_tpu.ops.orb_pallas import brief_sample

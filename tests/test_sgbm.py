@@ -205,7 +205,11 @@ def test_lr_lookup_matches_gather_oracle():
     """The gather-free shift-select LR lookup (sgbm_pallas.lr_lookup) must
     equal best_r[x - best(x)] wherever x - best >= 0 (the only region its
     callers consume; the left band is overridden by an explicit term)."""
+    import jax
     import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("Pallas TPU kernel (production path is TPU-gated)")
 
     from openvo_tpu.ops.sgbm_pallas import lr_lookup
 
